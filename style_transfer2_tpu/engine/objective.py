@@ -1,0 +1,242 @@
+"""The style-transfer objective as one fused, differentiable XLA program.
+
+Replicates the math of the reference's StyleTransfer.opfunc
+(worker.py:231-301) exactly:
+
+  * per-layer content / style / deep-dream losses with analytic injected
+    gradients, each divided by a *first-evaluation gradient-RMS norm* that is
+    cached until reset (worker.py:137,253-277) — the norms are explicit state
+    threaded through the jitted step, (value, is_set) pairs per (layer, kind);
+  * the style gradient is the reference's half-gradient
+    2/(c^2 * chw) * gram_diff @ feat (worker.py:263-264), injected as a vjp
+    cotangent — the moral equivalent of Caffe's sectioned backward;
+  * TV and p-norm losses evaluated on x/255 with their analytic gradients
+    added WITHOUT the 1/255 chain factor (worker.py:283-297, a reference
+    quirk preserved deliberately);
+  * the trace: per-branch loss and gradient-RMS scalars in evaluation order,
+    then scd_loss, t_loss, p_loss, scd_grad, t_grad, p_grad, loss, grad
+    (worker.py:236-301; 'time' and 'fevals' are appended host-side).
+
+Which (layer, loss) branches exist is static (a weight-structure change
+recompiles — rare, user-driven); the weight VALUES, the norm state, and the
+tv/p scalar weights are dynamic so per-iteration changes never recompile.
+The tv/p exponents are static so XLA constant-folds the pow at beta=2.
+"""
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import vgg19
+from ..ops.gram import gram_matrix
+from ..ops.losses import p_norm, tv_norm
+
+# Weights with |w| <= this are treated as absent (reference worker.py:234,250).
+WEIGHT_EPS = 1e-15
+
+LOSS_NAMES = ('content', 'style', 'deepdream')
+SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')
+
+
+def _rms(x):
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+@dataclass(frozen=True)
+class ObjectiveSpec:
+    """Static structure of the objective: which (layer, loss) branches are
+    active, and the tv/p exponents. Hashable — keys the compilation cache."""
+
+    branches: tuple  # ((layer_name, has_content, has_style, has_dream), ...)
+    tv_power: float = 2.0
+    p_power: float = 2.0
+
+    @classmethod
+    def from_weights(cls, weights, params):
+        """Builds a spec from weight dicts shaped like the SetWeights message
+        (messages.py:131-149): weights[loss_name][layer] -> float, and the
+        scalar params dict with tv/tv_power/p/p_power."""
+        branches = []
+        for layer in vgg19.BLOB_NAMES:
+            has = []
+            for loss_name in LOSS_NAMES:
+                w = weights.get(loss_name, {}).get(layer, 0.0)
+                has.append(w is not None and abs(float(w)) > WEIGHT_EPS)
+            if any(has):
+                branches.append((layer, has[0], has[1], has[2]))
+        return cls(branches=tuple(branches),
+                   tv_power=float(params.get('tv_power', 2.0)),
+                   p_power=float(params.get('p_power', 2.0)))
+
+    @property
+    def layers(self):
+        return tuple(b[0] for b in self.branches)
+
+    @property
+    def content_layers(self):
+        return tuple(b[0] for b in self.branches if b[1])
+
+    @property
+    def style_layers(self):
+        return tuple(b[0] for b in self.branches if b[2])
+
+    @property
+    def norm_keys(self):
+        """Keys of the first-eval norm state, aligned with branch order."""
+        keys = []
+        for layer, has_c, has_s, has_d in self.branches:
+            if has_c:
+                keys.append(layer + ':c')
+            if has_s:
+                keys.append(layer + ':s')
+            if has_d:
+                keys.append(layer + ':d')
+        return tuple(keys)
+
+    @property
+    def trace_keys(self):
+        """Names of the scalars the objective returns, in reference order
+        (device-side keys only; 'time'/'fevals' are host-side)."""
+        keys = []
+        for layer, has_c, has_s, has_d in self.branches:
+            if has_c:
+                keys += ['%s_c_loss' % layer, '%s_c_grad' % layer]
+            if has_s:
+                keys += ['%s_s_loss' % layer, '%s_s_grad' % layer]
+            if has_d:
+                keys += ['%s_d_loss' % layer, '%s_d_grad' % layer]
+        keys += ['scd_loss', 't_loss', 'p_loss',
+                 'scd_grad', 't_grad', 'p_grad', 'loss', 'grad']
+        return tuple(keys)
+
+
+def weights_to_arrays(weights, spec):
+    """Dense per-layer weight vectors [content, style, deepdream] for the
+    spec's layers; missing entries are 0 (the reference's NaN-from-DataFrame
+    behaves as 0 under its |w| > 1e-15 guards)."""
+    out = {}
+    for layer in spec.layers:
+        vals = []
+        for loss_name in LOSS_NAMES:
+            w = weights.get(loss_name, {}).get(layer, 0.0)
+            vals.append(0.0 if w is None else float(w))
+        out[layer] = np.float32(vals)
+    return out
+
+
+def scalars_to_arrays(params):
+    """tv/p scalar weights as float32 scalars (powers live in the spec)."""
+    return {'tv': np.float32(params.get('tv', 1.0)),
+            'p': np.float32(params.get('p', 1.0))}
+
+
+def empty_norms(spec):
+    """Fresh norm state: all (0, unset)."""
+    vals = {k: np.float32(0.0) for k in spec.norm_keys}
+    set_ = {k: np.bool_(False) for k in spec.norm_keys}
+    return vals, set_
+
+
+def make_objective(spec, precision, compute_dtype):
+    """Returns objective(params, x, content_feats, grams, layer_weights,
+    scalars, norms_vals, norms_set) -> (loss, grad, (norms_vals', norms_set'),
+    trace_tuple). Pure — safe to close over inside a larger jitted step."""
+
+    def objective(params, x, content_feats, grams, layer_weights, scalars,
+                  norms_vals, norms_set):
+        model = vgg19.VGG19Features(params, precision, compute_dtype)
+        feats, vjp = model.features_and_vjp(x, spec.layers)
+
+        loss = jnp.float32(0.0)
+        trace = []
+        diffs = {}
+        new_vals = dict(norms_vals)
+        new_set = dict(norms_set)
+
+        def norm_of(key, fresh):
+            """First-eval RMS caching: use the stored norm if set, else the
+            freshly computed one; mark set either way (worker.py:253-254)."""
+            value = jnp.where(norms_set[key], norms_vals[key], fresh)
+            new_vals[key] = value
+            new_set[key] = jnp.bool_(True)
+            return value
+
+        for layer, has_c, has_s, has_d in spec.branches:
+            feat = feats[layer]
+            size = jnp.float32(np.prod(feat.shape))
+            w = layer_weights[layer]
+            diff = jnp.zeros_like(feat, dtype=jnp.float32)
+
+            if has_c:
+                cw = w[0]
+                c_diff = feat - content_feats[layer]
+                c_grad = (2.0 / size) * c_diff
+                cn = norm_of(layer + ':c', _rms(c_grad))
+                c_loss = cw * jnp.mean(jnp.square(c_diff)) / cn
+                trace.append(c_loss)
+                loss = loss + c_loss
+                term = cw * c_grad / cn
+                trace.append(_rms(term))
+                diff = diff + term
+
+            if has_s:
+                sw = w[1]
+                _, mh, mw, n = feat.shape
+                gram_diff = gram_matrix(feat, precision) - grams[layer]
+                flat = feat.reshape(mh * mw, n)
+                # Reference half-gradient, NHWC form: feat @ gram_diff
+                # (gram_diff is symmetric), scaled by 2/(c^2 * c*h*w).
+                s_grad = jnp.dot(flat, gram_diff, precision=precision,
+                                 preferred_element_type=jnp.float32)
+                s_grad = s_grad.reshape(1, mh, mw, n)
+                s_grad = s_grad * (2.0 / (jnp.float32(n * n) * size))
+                sn = norm_of(layer + ':s', _rms(s_grad))
+                s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
+                trace.append(s_loss)
+                loss = loss + s_loss
+                term = (sw / sn) * s_grad
+                trace.append(_rms(term))
+                diff = diff + term
+
+            if has_d:
+                dw = w[2]
+                d_grad = (-2.0 / size) * feat
+                dn = norm_of(layer + ':d', _rms(d_grad))
+                d_loss = -dw * jnp.mean(jnp.square(feat)) / dn
+                trace.append(d_loss)
+                loss = loss + d_loss
+                term = dw * d_grad / dn
+                trace.append(_rms(term))
+                diff = diff + term
+
+            diffs[layer] = diff
+
+        trace.append(loss)  # scd_loss
+
+        x_scaled = x / jnp.float32(255.0)
+        tv_loss, tv_grad = tv_norm(x_scaled, spec.tv_power)
+        t_loss = scalars['tv'] * tv_loss
+        trace.append(t_loss)
+        loss = loss + t_loss
+
+        p_loss, p_grad = p_norm(x_scaled, spec.p_power)
+        pl = scalars['p'] * p_loss
+        trace.append(pl)
+        loss = loss + pl
+
+        grad = vjp(diffs)
+        trace.append(_rms(grad))  # scd_grad
+        tv_term = scalars['tv'] * tv_grad
+        trace.append(_rms(tv_term))  # t_grad
+        grad = grad + tv_term
+        p_term = scalars['p'] * p_grad
+        trace.append(_rms(p_term))  # p_grad
+        grad = grad + p_term
+
+        trace.append(loss)        # loss
+        trace.append(_rms(grad))  # grad
+
+        return loss, grad, (new_vals, new_set), tuple(trace)
+
+    return objective

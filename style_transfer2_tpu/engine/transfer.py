@@ -1,0 +1,270 @@
+"""The StyleTransfer state machine — host orchestration over device state.
+
+Mirrors the reference's StyleTransfer class (worker.py:117-315): the same
+image-slot lifecycle (input/content/style), start gating, reset semantics,
+warm-started resolution changes, and per-step traces — but all arrays are
+device pytrees, the step is one fused XLA program (engine/steps.py), and the
+first-eval norm cache is explicit state threaded through the jit.
+
+State layering ("state above, compute below", like the reference's app/worker
+split): everything here is reconstructible from the host-side session, so a
+device error costs only optimizer momentum — see reset()/checkpoint().
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import vgg19
+from ..ops.gram import gram_matrix
+from ..ops.resample import resize_nhwc
+from ..optim import OPTIMIZERS, STEP_SIZES
+from ..utils.tracing import Trace
+from .objective import (
+    LOSS_NAMES,
+    SCALAR_LOSS_NAMES,
+    ObjectiveSpec,
+    empty_norms,
+    scalars_to_arrays,
+    weights_to_arrays,
+)
+from .steps import build_step_fns, precision_config
+
+
+class StyleTransfer:
+    """Performs image stylization by minimizing the fused objective with an
+    optimizer pytree. API parity with reference worker.py:117-315."""
+
+    def __init__(self, params, precision='float32', n_corr=10):
+        self.params = params
+        self.precision = precision
+        self.n_corr = n_corr
+        lax_precision, compute_dtype = precision_config(precision)
+        self.model = vgg19.VGG19Features(params, lax_precision, compute_dtype)
+
+        self.is_running = False
+        self.is_starting = False
+        self.t = 0
+        self._input = None          # (1, H, W, 3) f32 device array
+        self.content = None         # (1, H, W, 3) f32 device array
+        self.features = None        # dict blob -> device array (all blobs)
+        self.grams = None           # dict blob -> (c, c) device array
+
+        # Until SetWeights arrives the reference weights every (layer, loss)
+        # at 1 (worker.py:130-133).
+        self.weights = {name: {layer: 1.0 for layer in vgg19.BLOB_NAMES}
+                        for name in LOSS_NAMES}
+        self.scalar_params = {name: 1.0 for name in SCALAR_LOSS_NAMES}
+
+        self.optimizer_name = 'lbfgs'
+        self.step_size = STEP_SIZES['lbfgs']
+        self.opt_state = None
+        self._needs_init = False    # L-BFGS (loss, grad) cache unprimed
+
+        # First-eval gradient-RMS norms, persisted across weight/size changes,
+        # cleared only on reset (worker.py:137,172-175).
+        self.norm_vals = {}
+        self.norm_set = {}
+
+        self.traces = []
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def input(self):
+        return self._input
+
+    @property
+    def input_hw(self):
+        return None if self._input is None else tuple(self._input.shape[1:3])
+
+    def layers(self):
+        return list(vgg19.BLOB_NAMES)
+
+    def spec(self):
+        return ObjectiveSpec.from_weights(self.weights, self.scalar_params)
+
+    # -- state machine (reference worker.py:140-229) -------------------------
+
+    def check_consistency(self):
+        if self._input is not None and self.content is not None and self.grams:
+            if self._input.shape == self.content.shape:
+                return True
+        return False
+
+    def objective_changed(self):
+        if self.opt_state is not None:
+            mod = OPTIMIZERS[self.optimizer_name]
+            self.opt_state = mod.objective_changed(self.opt_state)
+            if self.optimizer_name == 'lbfgs':
+                self._needs_init = True
+
+    def pause(self):
+        self.is_running = False
+        self.is_starting = False
+
+    def resample_input(self, size):
+        size = tuple(int(s) for s in size)
+        if self._input is not None and self.opt_state is not None:
+            mod = OPTIMIZERS[self.optimizer_name]
+            self.opt_state = mod.resample(self.opt_state, size)
+            self._input = self.opt_state['x']
+            if self.optimizer_name == 'lbfgs':
+                self._needs_init = True
+        else:
+            self._input = jnp.zeros((1,) + size + (3,), jnp.float32)
+        self._start()
+        self.objective_changed()
+
+    def resample_content(self, size):
+        size = tuple(int(s) for s in size)
+        if self.content is not None:
+            self.content = resize_nhwc(self.content, size, 'lanczos3')
+        else:
+            self.content = jnp.zeros((1,) + size + (3,), jnp.float32)
+        self.features = dict(self.model.forward(self.content))
+        self._start()
+        self.objective_changed()
+
+    def reset(self):
+        self.norm_vals = {}
+        self.norm_set = {}
+        self.t = 0
+        if self._input is not None:
+            mod = OPTIMIZERS[self.optimizer_name]
+            if self.optimizer_name == 'lbfgs':
+                self.opt_state = mod.init(self._input, self.n_corr)
+                self._needs_init = True
+            else:
+                self.opt_state = mod.init(self._input)
+                self._needs_init = False
+        else:
+            self.opt_state = None
+
+    def start(self):
+        self.is_starting = True
+        self._start()
+        return self.is_running
+
+    def _start(self):
+        if self.is_starting:
+            if self._input is not None and self.content is not None and self.grams:
+                if self._input.shape == self.content.shape:
+                    if self.opt_state is None:
+                        self.reset()
+                    self.is_starting = False
+                    self.is_running = True
+
+    def set_input(self, image):
+        image = vgg19.preprocess(image)
+        if self._input is not None and self._input.shape == image.shape:
+            self._input = image
+            if self.opt_state is not None:
+                self.opt_state = dict(self.opt_state)
+                self.opt_state['x'] = image
+            self.objective_changed()
+        elif self.opt_state is not None:
+            mod = OPTIMIZERS[self.optimizer_name]
+            self.opt_state = mod.resample(self.opt_state, None, new_x=image)
+            self._input = self.opt_state['x']
+            if self.optimizer_name == 'lbfgs':
+                self._needs_init = True
+            self._start()
+        else:
+            self._input = image
+            self.reset()
+            self._start()
+
+    def set_content(self, image):
+        self.content = vgg19.preprocess(image)
+        self.features = dict(self.model.forward(self.content))
+        self._start()
+        self.objective_changed()
+
+    def set_style(self, image):
+        image = vgg19.preprocess(image)
+        features = self.model.forward(image)
+        self.grams = {layer: gram_matrix(feat)
+                      for layer, feat in features.items()}
+        self._start()
+        self.objective_changed()
+
+    def set_optimizer(self, name):
+        """Swaps the optimizer class; the caller decides whether to reset
+        (the worker resets when the type changed, worker.py:387-391)."""
+        if name not in OPTIMIZERS:
+            raise ValueError('Invalid optimizer type: %r' % (name,))
+        self.optimizer_name = name
+
+    def set_step_size(self, step_size):
+        self.step_size = float(step_size)
+
+    def set_weights(self, weights, params):
+        self.weights = {name: dict(weights.get(name, {})) for name in LOSS_NAMES}
+        self.scalar_params = dict(params)
+        self.objective_changed()
+
+    # -- stepping -------------------------------------------------------------
+
+    def _gather_inputs(self, spec):
+        norms_vals, norms_set = empty_norms(spec)
+        for key in spec.norm_keys:
+            if key in self.norm_vals:
+                norms_vals[key] = self.norm_vals[key]
+                norms_set[key] = self.norm_set[key]
+        return {
+            'content_feats': {l: self.features[l] for l in spec.content_layers},
+            'grams': {l: self.grams[l] for l in spec.style_layers},
+            'layer_weights': weights_to_arrays(self.weights, spec),
+            'scalars': scalars_to_arrays(self.scalar_params),
+            'norms_vals': norms_vals,
+            'norms_set': norms_set,
+        }
+
+    def _absorb(self, spec, norms, trace_vals):
+        norms_vals, norms_set = norms
+        for key in spec.norm_keys:
+            self.norm_vals[key] = norms_vals[key]
+            self.norm_set[key] = norms_set[key]
+        # One host transfer for the whole trace instead of a sync per scalar.
+        trace_vals = [float(v) for v in np.asarray(jax.device_get(trace_vals))]
+        trace = Trace()
+        for key, value in zip(spec.trace_keys, trace_vals):
+            if key == 'loss':
+                trace('time', time.perf_counter())
+            trace(key, value)
+        self.traces.append(trace)
+        return trace
+
+    def step(self):
+        """Runs one optimizer iteration. Returns (deprocessed HxWx3 float32
+        RGB image, trace dict) like reference worker.py:303-310."""
+        self.t += 1
+        spec = self.spec()
+        step_fn, eval_fn = build_step_fns(spec, self.optimizer_name,
+                                          self.precision)
+        if self._needs_init:
+            inputs = self._gather_inputs(spec)
+            self.opt_state, norms, trace_vals = eval_fn(
+                self.params, self.opt_state, inputs)
+            self._absorb(spec, norms, trace_vals)
+            self._needs_init = False
+
+        inputs = self._gather_inputs(spec)
+        self.opt_state, norms, trace_vals = step_fn(
+            self.params, self.opt_state, inputs,
+            jnp.float32(self.step_size))
+        self._input = self.opt_state['x']
+        trace = self._absorb(spec, norms, trace_vals)
+        trace('fevals', self.t)
+        image = np.asarray(vgg19.deprocess(self._input))
+        return image, trace.data
+
+    def write_trace(self, filename):
+        """Dumps the accumulated trace history to CSV (worker.py:312-315)."""
+        import pandas as pd
+        df = pd.DataFrame([t.data for t in self.traces])
+        df.index.name = 'step'
+        df.to_csv(filename)

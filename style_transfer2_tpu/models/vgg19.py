@@ -1,0 +1,196 @@
+"""Truncated VGG-19 feature extractor, TPU-native.
+
+Replicates the behavior of the reference's Caffe network
+(/root/reference/models/vgg19.prototxt + worker.py:32-106) as a pure
+functional JAX program:
+
+  * 16 conv layers (3x3, pad 1) + in-place ReLU, 5 max-pools (2x2, stride 2),
+    no FC layers. Blob order: data, conv1_1, conv1_2, pool1, ..., pool5.
+  * A feature tap at blob name "convX_Y" is the POST-ReLU activation (Caffe
+    in-place ReLU overwrites the conv blob); "poolN" is the pool output;
+    "data" is the preprocessed input itself.
+  * Max pooling uses Caffe's ceil-mode output size (out = ceil(H/2)); odd
+    trailing rows/cols are covered by a clipped window. Implemented with
+    -inf padding so results match Caffe exactly.
+  * Preprocessing matches worker.py:63-66: float32 RGB, subtract the mean
+    (123.68, 116.779, 103.939) per channel, NO channel reversal (the
+    reference's ``[::1]`` is a no-op slice, preserved deliberately).
+
+Layout is NHWC throughout — channels on the TPU lane dimension so the MXU
+tiles convs natively — with (1, H, W, 3) images; the reference's NCHW exists
+only at the host API boundary.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# RGB channel means (reference worker.py:34).
+MEAN_RGB = np.float32([123.68, 116.779, 103.939])
+
+# (name, out_channels) for each conv layer, in network order.
+CONV_SPECS = (
+    ('conv1_1', 64), ('conv1_2', 64),
+    ('conv2_1', 128), ('conv2_2', 128),
+    ('conv3_1', 256), ('conv3_2', 256), ('conv3_3', 256), ('conv3_4', 256),
+    ('conv4_1', 512), ('conv4_2', 512), ('conv4_3', 512), ('conv4_4', 512),
+    ('conv5_1', 512), ('conv5_2', 512), ('conv5_3', 512), ('conv5_4', 512),
+)
+CONV_NAMES = tuple(name for name, _ in CONV_SPECS)
+
+# All blob names in forward order, as CaffeModel.layers() returns them
+# (reference worker.py:73-75): the data blob, every conv blob, every pool blob.
+BLOB_NAMES = ('data',)
+for _block in range(1, 6):
+    _n_convs = 2 if _block <= 2 else 4
+    BLOB_NAMES = BLOB_NAMES + tuple(
+        'conv%d_%d' % (_block, i) for i in range(1, _n_convs + 1))
+    BLOB_NAMES = BLOB_NAMES + ('pool%d' % _block,)
+
+# Input channel count for each conv layer.
+_IN_CHANNELS = {}
+_prev = 3
+for _name, _out in CONV_SPECS:
+    _IN_CHANNELS[_name] = _prev
+    _prev = _out
+
+
+def blob_index(name):
+    """Position of a blob in forward order; raises ValueError if unknown."""
+    return BLOB_NAMES.index(name)
+
+
+def preprocess(image):
+    """HxWx3 (or 1xHxWx3) RGB uint8/float -> (1, H, W, 3) float32, mean
+    subtracted. Matches reference worker.py:63-66 (RGB order preserved)."""
+    arr = jnp.asarray(image, jnp.float32)
+    if arr.ndim == 3:
+        arr = arr[None]
+    return arr - MEAN_RGB
+
+
+def deprocess(image):
+    """Inverse of preprocess: (1, H, W, 3) -> HxWx3 float32 RGB."""
+    arr = jnp.asarray(image, jnp.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    return arr + MEAN_RGB
+
+
+def _conv(x, w, b, precision):
+    """3x3 pad-1 convolution + bias, NHWC/HWIO."""
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b
+
+
+def _max_pool_ceil(x):
+    """2x2 stride-2 max pool with Caffe ceil-mode output size.
+
+    Caffe computes out = ceil((H - k)/s) + 1 and clips the last window to the
+    input; padding the bottom/right with -inf to 2*ceil(H/2) reproduces that
+    exactly (max over the clipped window).
+    """
+    h, w = x.shape[1], x.shape[2]
+    pad_h = -h % 2
+    pad_w = -w % 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('layers', 'precision', 'compute_dtype'))
+def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST,
+                     compute_dtype=jnp.float32):
+    """Runs the network forward, returning a dict of feature maps for the
+    requested blob names (default: all blobs), like CaffeModel.forward
+    (reference worker.py:77-86) — but stops at the deepest requested blob
+    instead of always running the whole net.
+
+    Args:
+      params: dict conv_name -> {'w': (3,3,in,out) f32, 'b': (out,) f32}.
+      x: preprocessed input, (1, H, W, 3) float32.
+      layers: tuple of blob names to return (hashable/static).
+      precision: matmul precision for float32 (HIGHEST = parity mode).
+      compute_dtype: jnp.float32 for parity, jnp.bfloat16 for speed (outputs
+        are always float32 via preferred_element_type accumulation).
+    """
+    if layers is None:
+        layers = BLOB_NAMES
+    wanted = frozenset(layers)
+    unknown = wanted - set(BLOB_NAMES)
+    if unknown:
+        raise ValueError('Unknown blob names: %s' % sorted(unknown))
+    deepest = max(blob_index(l) for l in layers) if layers else 0
+
+    feats = {}
+    if 'data' in wanted:
+        feats['data'] = x
+
+    h = x
+    for idx, name in enumerate(BLOB_NAMES[1:], start=1):
+        if idx > deepest:
+            break
+        if name.startswith('conv'):
+            p = params[name]
+            w = p['w'].astype(compute_dtype)
+            b = p['b'].astype(jnp.float32)
+            h = _conv(h.astype(compute_dtype), w, b, precision)
+            h = jnp.maximum(h, 0.0)  # in-place ReLU: the tap is post-ReLU
+        else:  # pool
+            h = _max_pool_ceil(h)
+        if name in wanted:
+            feats[name] = h
+    return {name: feats[name] for name in layers}
+
+
+class VGG19Features:
+    """Convenience object wrapper over the functional core, playing the role
+    of the reference's CaffeModel (worker.py:32-106)."""
+
+    def __init__(self, params, precision=jax.lax.Precision.HIGHEST,
+                 compute_dtype=jnp.float32):
+        self.params = params
+        self.precision = precision
+        self.compute_dtype = compute_dtype
+
+    def layers(self):
+        """All blob names, like CaffeModel.layers()."""
+        return list(BLOB_NAMES)
+
+    def preprocess(self, image):
+        return preprocess(image)
+
+    def deprocess(self, image):
+        return deprocess(image)
+
+    def forward(self, x, layers=None):
+        layers = tuple(layers) if layers is not None else BLOB_NAMES
+        return extract_features(self.params, x, layers,
+                                self.precision, self.compute_dtype)
+
+    def features_and_vjp(self, x, layers):
+        """Returns (features dict, vjp function). The vjp over injected
+        per-layer cotangents is the moral equivalent of CaffeModel.backward's
+        sectioned backward pass (reference worker.py:88-106)."""
+        layers = tuple(layers)
+
+        def f(x_):
+            feats = extract_features(self.params, x_, layers,
+                                     self.precision, self.compute_dtype)
+            return tuple(feats[l] for l in layers)
+
+        outs, vjp_fn = jax.vjp(f, x)
+        feats = dict(zip(layers, outs))
+        return feats, lambda diffs: vjp_fn(tuple(diffs[l] for l in layers))[0]

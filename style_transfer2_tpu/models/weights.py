@@ -1,0 +1,236 @@
+"""Weight loading/conversion for the truncated VGG-19.
+
+The reference obtains weights as a Caffe ``.caffemodel`` binary downloaded
+from S3 (download_models.sh:3) and reads it through pycaffe. Here the
+converter parses the protobuf wire format directly — no Caffe dependency —
+and also accepts a torchvision VGG-19 state_dict or produces deterministic
+random weights (for tests and benchmarks, where only the math matters).
+
+Channel-order note (reference worker.py:63-66): the reference feeds
+RGB-ordered, RGB-mean-subtracted data to weights trained on BGR — its
+``[::1]`` slice is a no-op, NOT a BGR reversal. The converter therefore uses
+the caffemodel blobs exactly as stored, preserving the reference's actual
+behavior rather than Caffe folklore.
+"""
+
+import io
+import struct
+
+import numpy as np
+
+from .vgg19 import CONV_SPECS, _IN_CHANNELS
+
+
+def random_params(seed=0, dtype=np.float32):
+    """Deterministic He-normal random weights; used by tests and benchmarks
+    (feature statistics resemble a trained net closely enough for perf work).
+    """
+    rng = np.random.RandomState(seed)
+    params = {}
+    for name, out_c in CONV_SPECS:
+        in_c = _IN_CHANNELS[name]
+        fan_in = 3 * 3 * in_c
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in), (3, 3, in_c, out_c))
+        b = np.zeros((out_c,))
+        params[name] = {'w': w.astype(dtype), 'b': b.astype(dtype)}
+    return params
+
+
+def save_params(params, path):
+    """Saves a params dict to an .npz file."""
+    flat = {}
+    for name, p in params.items():
+        flat[name + '/w'] = np.asarray(p['w'])
+        flat[name + '/b'] = np.asarray(p['b'])
+    np.savez(path, **flat)
+
+
+def load_params(path):
+    """Loads a params dict saved by save_params()."""
+    data = np.load(path)
+    params = {}
+    for key in data.files:
+        name, kind = key.rsplit('/', 1)
+        params.setdefault(name, {})[kind] = np.float32(data[key])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Caffemodel (protobuf wire format) parsing, no Caffe required.
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf):
+    result = 0
+    shift = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError('Truncated varint')
+        b = b[0]
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result
+        shift += 7
+
+
+def _skip_field(buf, wire_type):
+    if wire_type == 0:
+        _read_varint(buf)
+    elif wire_type == 1:
+        buf.read(8)
+    elif wire_type == 2:
+        length = _read_varint(buf)
+        buf.read(length)
+    elif wire_type == 5:
+        buf.read(4)
+    else:
+        raise ValueError('Unsupported wire type %d' % wire_type)
+
+
+def _iter_fields(data):
+    """Yields (field_number, wire_type, value) over a serialized message.
+    Length-delimited values come back as bytes; varints as ints; fixed32 as
+    raw 4 bytes; fixed64 as raw 8 bytes."""
+    buf = io.BytesIO(data)
+    end = len(data)
+    while buf.tell() < end:
+        key = _read_varint(buf)
+        field, wire_type = key >> 3, key & 7
+        if wire_type == 0:
+            yield field, wire_type, _read_varint(buf)
+        elif wire_type == 1:
+            yield field, wire_type, buf.read(8)
+        elif wire_type == 2:
+            length = _read_varint(buf)
+            yield field, wire_type, buf.read(length)
+        elif wire_type == 5:
+            yield field, wire_type, buf.read(4)
+        else:
+            raise ValueError('Unsupported wire type %d' % wire_type)
+
+
+def _parse_blob(data):
+    """Parses a BlobProto: returns (shape tuple, float32 data array)."""
+    num = channels = height = width = None
+    shape = None
+    values = []
+    for field, wire_type, value in _iter_fields(data):
+        if field == 1 and wire_type == 0:
+            num = value
+        elif field == 2 and wire_type == 0:
+            channels = value
+        elif field == 3 and wire_type == 0:
+            height = value
+        elif field == 4 and wire_type == 0:
+            width = value
+        elif field == 5:
+            if wire_type == 2:  # packed floats
+                values.append(np.frombuffer(value, dtype='<f4'))
+            elif wire_type == 5:  # unpacked single float
+                values.append(np.frombuffer(value, dtype='<f4'))
+        elif field == 7 and wire_type == 2:  # BlobShape
+            dims = []
+            for f2, w2, v2 in _iter_fields(value):
+                if f2 == 1:
+                    if w2 == 0:
+                        dims.append(v2)
+                    elif w2 == 2:  # packed varints
+                        sub = io.BytesIO(v2)
+                        while sub.tell() < len(v2):
+                            dims.append(_read_varint(sub))
+            shape = tuple(dims)
+    data_arr = np.concatenate(values) if values else np.zeros(0, np.float32)
+    if shape is None and num is not None:
+        shape = tuple(d for d in (num, channels, height, width) if d is not None)
+    return shape, np.float32(data_arr)
+
+
+def _parse_layer(data, name_field, blobs_field, type_is_string):
+    """Parses a (V1)LayerParameter: returns (name, [(shape, data), ...])."""
+    name = None
+    blobs = []
+    for field, wire_type, value in _iter_fields(data):
+        if field == name_field and wire_type == 2:
+            name = value.decode('utf-8', 'replace')
+        elif field == blobs_field and wire_type == 2:
+            blobs.append(_parse_blob(value))
+    return name, blobs
+
+
+def params_from_caffemodel(path):
+    """Parses a Caffe NetParameter binary and returns the params dict for the
+    truncated VGG-19's conv layers (HWIO weights, per-channel biases).
+
+    Handles both the modern ``layer`` (field 100: LayerParameter, name=1,
+    blobs=7) and legacy ``layers`` (field 2: V1LayerParameter, name=4,
+    blobs=6) encodings.
+    """
+    with open(path, 'rb') as f:
+        data = f.read()
+
+    wanted = {name for name, _ in CONV_SPECS}
+    params = {}
+    for field, wire_type, value in _iter_fields(data):
+        if wire_type != 2:
+            continue
+        if field == 100:  # modern LayerParameter
+            name, blobs = _parse_layer(value, name_field=1, blobs_field=7,
+                                       type_is_string=True)
+        elif field == 2:  # legacy V1LayerParameter
+            name, blobs = _parse_layer(value, name_field=4, blobs_field=6,
+                                       type_is_string=False)
+        else:
+            continue
+        if name in wanted and len(blobs) >= 2:
+            (w_shape, w_data), (b_shape, b_data) = blobs[0], blobs[1]
+            out_c = dict(CONV_SPECS)[name]
+            in_c = _IN_CHANNELS[name]
+            w = w_data.reshape((out_c, in_c, 3, 3))      # Caffe OIHW
+            w = np.ascontiguousarray(w.transpose(2, 3, 1, 0))  # -> HWIO
+            b = b_data.reshape((out_c,))
+            params[name] = {'w': w, 'b': b}
+
+    missing = wanted - set(params)
+    if missing:
+        raise ValueError('caffemodel is missing conv layers: %s' % sorted(missing))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# torchvision conversion
+# ---------------------------------------------------------------------------
+
+# torchvision vgg19 "features" module indices for each conv layer.
+_TORCHVISION_INDEX = {
+    'conv1_1': 0, 'conv1_2': 2,
+    'conv2_1': 5, 'conv2_2': 7,
+    'conv3_1': 10, 'conv3_2': 12, 'conv3_3': 14, 'conv3_4': 16,
+    'conv4_1': 19, 'conv4_2': 21, 'conv4_3': 23, 'conv4_4': 25,
+    'conv5_1': 28, 'conv5_2': 30, 'conv5_3': 32, 'conv5_4': 34,
+}
+
+
+def params_from_torchvision(state_dict):
+    """Converts a torchvision ``vgg19().state_dict()`` (or its ``features``
+    submodule state_dict) to our params format.
+
+    Note: torchvision weights expect 0-1-normalized RGB input; the Caffe-style
+    0-255 mean-subtracted preprocessing used by the engine will drive them at
+    a 255x larger input scale. They produce a working (but numerically
+    different) feature extractor; for reference-parity use a caffemodel.
+    """
+    params = {}
+    for name, idx in _TORCHVISION_INDEX.items():
+        for prefix in ('features.%d.' % idx, '%d.' % idx):
+            wk, bk = prefix + 'weight', prefix + 'bias'
+            if wk in state_dict:
+                w = np.float32(np.asarray(state_dict[wk]))   # OIHW
+                b = np.float32(np.asarray(state_dict[bk]))
+                params[name] = {
+                    'w': np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                    'b': b,
+                }
+                break
+        else:
+            raise KeyError('State dict is missing weights for %s' % name)
+    return params

@@ -1,0 +1,157 @@
+"""Fixed-step L-BFGS (no line search) as a fixed-shape JAX pytree.
+
+Reference semantics (optimizers.py:49-125) under XLA's static-shape rules:
+
+  * the curvature history (up to n_corr=10 (s, y, s.y) pairs) lives in
+    stacked ring buffers in HBM with a valid-pair count — the reference's
+    Python lists become masked lax.scan two-loop recursion;
+  * a candidate pair is rejected when s.y <= 1e-10 (optimizers.py:82-83);
+  * with an empty history the direction is RMS-normalized:
+    p /= sqrt(p.p / p.size) (optimizers.py:100-102); otherwise scaled by
+    sy_last / y_last.y_last;
+  * ``objective_changed`` clears the history AND the cached (loss, grad)
+    (optimizers.py:121-125) — the next step must re-prime via initial_eval;
+  * ``resample`` Lanczos-resamples x and clears state (optimizers.py:110-119).
+
+Buffer layout: pairs are stored oldest-to-newest in the LAST ``count`` slots;
+acceptance rolls the buffers left by one and writes at the end.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resample import resize_nhwc
+
+N_CORR_DEFAULT = 10
+SY_MIN = 1e-10
+
+
+def _vdot(a, b):
+    return jnp.vdot(a.ravel(), b.ravel())
+
+
+def init(x, n_corr=N_CORR_DEFAULT):
+    """Fresh L-BFGS state around the iterate x. The (loss, grad) cache starts
+    empty; run initial_eval before the first step."""
+    x = jnp.asarray(x, jnp.float32)
+    return {
+        'x': x,
+        'loss': jnp.float32(0.0),
+        'grad': jnp.zeros_like(x),
+        'sk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
+        'yk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
+        'syk': jnp.zeros((n_corr,), jnp.float32),
+        'count': jnp.int32(0),
+    }
+
+
+def initial_eval(state, opfunc):
+    """Primes the (loss, grad) cache — the reference's lazy first evaluation
+    at the top of LBFGSOptimizer.step (optimizers.py:64-65)."""
+    loss, grad, aux = opfunc(state['x'])
+    state = dict(state)
+    state['loss'] = loss
+    state['grad'] = grad
+    return state, loss, aux
+
+
+def inv_hv(state, p):
+    """Two-loop recursion over the masked ring buffer (optimizers.py:89-108)."""
+    sk, yk, syk, count = state['sk'], state['yk'], state['syk'], state['count']
+    n_corr = sk.shape[0]
+
+    def loop1(p, i):
+        valid = i >= n_corr - count
+        s, y, sy = sk[i], yk[i], syk[i]
+        sy_safe = jnp.where(valid, sy, 1.0)
+        alpha = jnp.where(valid, _vdot(s, p) / sy_safe, 0.0)
+        return p - alpha * y, alpha
+
+    # Newest-to-oldest.
+    idx_desc = jnp.arange(n_corr - 1, -1, -1)
+    p, alphas = jax.lax.scan(loop1, p, idx_desc)
+
+    # Initial Hessian scaling from the newest pair, or RMS normalization when
+    # the history is empty (optimizers.py:97-102).
+    has_history = count > 0
+    y_last, sy_last = yk[-1], syk[-1]
+    yy = _vdot(y_last, y_last)
+    scale_hist = sy_last / jnp.where(yy > 0, yy, 1.0)
+    rms = jnp.sqrt(_vdot(p, p) / jnp.float32(p.size))
+    scale_rms = 1.0 / jnp.where(rms > 0, rms, 1.0)
+    p = p * jnp.where(has_history, scale_hist, scale_rms)
+
+    def loop2(p, inp):
+        i, alpha = inp
+        valid = i >= n_corr - count
+        s, y, sy = sk[i], yk[i], syk[i]
+        sy_safe = jnp.where(valid, sy, 1.0)
+        beta = _vdot(y, p) / sy_safe
+        return p + jnp.where(valid, alpha - beta, 0.0) * s, None
+
+    # Oldest-to-newest, alphas re-aligned (reference zips reversed(alphas)).
+    idx_asc = jnp.arange(n_corr)
+    p, _ = jax.lax.scan(loop2, p, (idx_asc, alphas[::-1]))
+    return p
+
+
+def store_curvature_pair(state, s, y):
+    """Rolls the ring buffer and appends (s, y, s.y) if s.y > 1e-10
+    (optimizers.py:79-87). Returns updated (sk, yk, syk, count)."""
+    sy = _vdot(s, y)
+    accept = sy > SY_MIN
+    n_corr = state['sk'].shape[0]
+    sk = jnp.where(accept, jnp.roll(state['sk'], -1, axis=0).at[-1].set(s),
+                   state['sk'])
+    yk = jnp.where(accept, jnp.roll(state['yk'], -1, axis=0).at[-1].set(y),
+                   state['yk'])
+    syk = jnp.where(accept, jnp.roll(state['syk'], -1, axis=0).at[-1].set(sy),
+                    state['syk'])
+    count = jnp.where(accept, jnp.minimum(state['count'] + 1, n_corr),
+                      state['count'])
+    return sk, yk, syk, count
+
+
+def step(state, opfunc, step_size):
+    """One L-BFGS step (optimizers.py:62-77): move along the approximate
+    Newton direction, evaluate, store the new curvature pair. The (loss,
+    grad) cache must be primed (initial_eval) first."""
+    s = -step_size * inv_hv(state, state['grad'])
+    x_new = state['x'] + s
+
+    loss, grad, aux = opfunc(x_new)
+    y = grad - state['grad']
+    sk, yk, syk, count = store_curvature_pair(state, s, y)
+
+    state_new = {
+        'x': x_new,
+        'loss': loss,
+        'grad': grad,
+        'sk': sk,
+        'yk': yk,
+        'syk': syk,
+        'count': count,
+    }
+    return state_new, loss, aux
+
+
+def objective_changed(state, n_corr=None):
+    """Clears the curvature history and the cached evaluation
+    (optimizers.py:121-125). The caller must re-prime via initial_eval."""
+    return init(state['x'], state['sk'].shape[0] if n_corr is None else n_corr)
+
+
+def resample(state, hw, new_x=None):
+    """Warm-starts x at a new resolution and clears optimizer state
+    (optimizers.py:110-119)."""
+    if new_x is not None:
+        x = jnp.asarray(new_x, jnp.float32)
+    else:
+        x = resize_nhwc(state['x'], tuple(hw), 'lanczos3')
+    return init(x, state['sk'].shape[0])
+
+
+def needs_initial_eval(state):
+    """True when the (loss, grad) cache is unprimed. Tracked host-side by the
+    engine (the pytree itself carries no validity flag)."""
+    return True

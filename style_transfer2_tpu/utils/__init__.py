@@ -1,0 +1,22 @@
+"""Shared utilities: config, logging, tracing, image helpers."""
+
+from .config import parse_args, read_config
+from .logging import setup_exceptions, setup_logging, setup_signals
+from .meanvar import DecayingMean
+from .tracing import Trace
+from .images import (
+    as_pil,
+    fit_into_square,
+    resample_hwc,
+    resample_nchw,
+    resize_to_fit,
+    scales,
+)
+
+__all__ = [
+    'parse_args', 'read_config',
+    'setup_exceptions', 'setup_logging', 'setup_signals',
+    'DecayingMean', 'Trace',
+    'as_pil', 'fit_into_square', 'resample_hwc', 'resample_nchw',
+    'resize_to_fit', 'scales',
+]

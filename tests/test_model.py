@@ -1,0 +1,112 @@
+"""Model-core tests: VGG-19 structure, Caffe pooling parity, forward and
+vjp parity against the independent torch oracle (SURVEY.md §4.1-4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import oracle
+from style_transfer2_tpu.models import (
+    BLOB_NAMES,
+    VGG19Features,
+    deprocess,
+    preprocess,
+    random_params,
+)
+from style_transfer2_tpu.models.vgg19 import _max_pool_ceil
+
+
+def _nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+def _nhwc(x):
+    return np.transpose(np.asarray(x), (0, 2, 3, 1))
+
+
+def test_blob_names():
+    assert BLOB_NAMES[0] == 'data'
+    assert len(BLOB_NAMES) == 22
+    assert BLOB_NAMES[1:4] == ('conv1_1', 'conv1_2', 'pool1')
+    assert BLOB_NAMES[-1] == 'pool5'
+
+
+def test_preprocess_roundtrip(rng):
+    img = rng.randint(0, 256, (10, 12, 3)).astype(np.uint8)
+    x = preprocess(img)
+    assert x.shape == (1, 10, 12, 3)
+    back = deprocess(x)
+    np.testing.assert_allclose(np.asarray(back), np.float32(img),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_preprocess_no_channel_swap():
+    # The reference's [::1] is a no-op: red stays in channel 0.
+    img = np.zeros((2, 2, 3), np.float32)
+    img[..., 0] = 200.0
+    x = np.asarray(preprocess(img))
+    np.testing.assert_allclose(x[0, :, :, 0], 200.0 - 123.68, rtol=1e-6)
+    np.testing.assert_allclose(x[0, :, :, 2], -103.939, rtol=1e-5)
+
+
+def test_max_pool_ceil_matches_caffe(rng):
+    # Odd sizes exercise Caffe's ceil-mode output with a clipped last window.
+    for h, w in [(5, 7), (4, 4), (9, 3)]:
+        x = rng.randn(1, h, w, 2).astype(np.float32)
+        ours = np.asarray(_max_pool_ceil(jnp.asarray(x)))
+        ref = F.max_pool2d(torch.from_numpy(_nchw(x)), 2, 2,
+                           ceil_mode=True).numpy()
+        np.testing.assert_allclose(ours, _nhwc(ref), rtol=1e-6)
+
+
+def test_forward_parity_with_oracle(rng):
+    params = random_params(3)
+    model = VGG19Features(params)
+    ref = oracle.OracleVGG(params)
+
+    img = rng.randint(0, 256, (33, 41, 3)).astype(np.uint8)  # odd sizes
+    x = preprocess(img)
+    x_ref = ref.preprocess(img)
+    np.testing.assert_allclose(_nchw(x), x_ref, rtol=1e-5, atol=1e-4)
+
+    layers = ('data', 'conv1_1', 'pool1', 'conv2_2', 'conv3_1', 'pool3',
+              'conv4_2', 'pool5')
+    ours = model.forward(x, layers)
+    theirs = ref.forward(x_ref, layers)
+    for layer in layers:
+        got = _nchw(ours[layer])
+        want = theirs[layer]
+        assert got.shape == want.shape, layer
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3,
+                                   err_msg=layer)
+
+
+def test_vjp_matches_torch_backward(rng):
+    params = random_params(4)
+    model = VGG19Features(params)
+    ref = oracle.OracleVGG(params)
+
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    x = preprocess(img)
+    layers = ('conv1_1', 'conv2_1', 'conv3_1')
+
+    feats, vjp = model.features_and_vjp(x, layers)
+    diffs = {l: rng.randn(*feats[l].shape).astype(np.float32) * 0.1
+             for l in layers}
+    grad = np.asarray(vjp({l: jnp.asarray(d) for l, d in diffs.items()}))
+
+    _, backward = ref.forward_backward(ref.preprocess(img), layers)
+    ref_grad = backward({l: _nchw(d) for l, d in diffs.items()})
+
+    np.testing.assert_allclose(_nchw(grad), ref_grad, rtol=2e-3, atol=2e-4)
+
+
+def test_forward_stops_at_deepest_layer(rng):
+    params = random_params(0)
+    model = VGG19Features(params)
+    x = preprocess(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8))
+    feats = model.forward(x, ('conv1_1',))
+    assert set(feats) == {'conv1_1'}
+    assert feats['conv1_1'].shape == (1, 8, 8, 64)
