@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Benchmark: optimization iterations/sec at 512px on one chip.
+
+Workload = the reference's headline operating point scaled to BASELINE.json:
+golden_gate x starry_night at 512px, initial_weights.yaml objective, L-BFGS
+step size 1 (reference config.ini:14-16, app.py:238-239). The engine runs
+fused multi-step dispatches (zero host round-trips per iteration).
+
+vs_baseline = TPU its/sec / CPU-reference its/sec, where the CPU reference
+is the independent torch/NumPy oracle (tests/oracle.py) executing the
+reference's per-iteration math on all host cores — a stand-in for the
+reference's Caffe-CPU worker (the reference publishes no numbers of its own;
+BASELINE.md). Weights are deterministic-random: conv FLOPs are identical to
+trained weights and no caffemodel download exists in this image.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+HERE = Path(__file__).parent.resolve()
+sys.path.insert(0, str(HERE))
+sys.path.insert(0, str(HERE / 'tests'))
+
+SIZE = 512
+N_WARMUP = 12
+N_TIMED = 60
+CHUNK = 12
+CPU_BASELINE_STEPS = 3
+
+WEIGHTS = {'content': {'conv4_2': 0.08},
+           'style': {'conv1_1': 1.0, 'conv2_1': 1.0, 'conv3_1': 1.0,
+                     'conv4_1': 1.0},
+           'deepdream': {}}
+SCALARS = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def load_images():
+    from PIL import Image
+    from style_transfer2_tpu.utils import resize_to_fit
+    content = Image.open(HERE / 'examples/golden_gate.jpg').convert('RGB')
+    style = Image.open(HERE / 'examples/starry_night.jpg').convert('RGB')
+    content = np.uint8(resize_to_fit(content, SIZE))
+    style = np.uint8(resize_to_fit(style, SIZE))
+    return content, style
+
+
+def bench_tpu(params, content, style):
+    from style_transfer2_tpu.engine import StyleTransfer
+
+    st = StyleTransfer(params, precision=os.environ.get('BENCH_PRECISION',
+                                                        'float32'))
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer('lbfgs')
+    st.set_step_size(1.0)
+    st.set_content(content)
+    st.set_style(style)
+    rng = np.random.RandomState(0)
+    st.set_input(rng.uniform(0, 255, content.shape).astype(np.uint8))
+    assert st.start()
+
+    log('compiling + warmup (%d iters)...' % N_WARMUP)
+    t0 = time.perf_counter()
+    st.run_steps(N_WARMUP, fetch_image=False)
+    log('warmup done in %.1fs' % (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < N_TIMED:
+        _, trace = st.run_steps(CHUNK, fetch_image=False)
+        done += CHUNK
+    elapsed = time.perf_counter() - t0
+    its_per_s = done / elapsed
+    log('TPU: %d iters in %.2fs -> %.2f it/s at %dpx (loss %.4g)'
+        % (done, elapsed, its_per_s, SIZE, trace['loss']))
+    assert np.isfinite(trace['loss'])
+    return its_per_s
+
+
+def bench_cpu_reference(params, content, style):
+    import oracle
+    ref = oracle.OracleTransfer(params, WEIGHTS, SCALARS,
+                                optimizer='lbfgs', step_size=1.0)
+    ref.set_content(content)
+    ref.set_style(style)
+    rng = np.random.RandomState(0)
+    ref.set_input(rng.uniform(0, 255, content.shape).astype(np.uint8))
+    ref.step()  # first step evaluates twice; exclude it
+    t0 = time.perf_counter()
+    for _ in range(CPU_BASELINE_STEPS):
+        ref.step()
+    elapsed = time.perf_counter() - t0
+    its_per_s = CPU_BASELINE_STEPS / elapsed
+    log('CPU reference (torch oracle): %d iters in %.2fs -> %.3f it/s'
+        % (CPU_BASELINE_STEPS, elapsed, its_per_s))
+    return its_per_s
+
+
+def main():
+    import jax
+    jax.config.update('jax_compilation_cache_dir', str(HERE / '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    from style_transfer2_tpu.models import random_params
+
+    log('devices: %s' % (jax.devices(),))
+    params = random_params(0)
+    content, style = load_images()
+    log('content %s style %s' % (content.shape, style.shape))
+
+    tpu_its = bench_tpu(params, content, style)
+    cpu_its = bench_cpu_reference(params, content, style)
+
+    result = {
+        'metric': 'optimization iterations/sec/chip at 512px '
+                  '(VGG-19 style transfer, L-BFGS, float32)',
+        'value': round(tpu_its, 3),
+        'unit': 'it/s',
+        'vs_baseline': round(tpu_its / cpu_its, 2),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == '__main__':
+    main()

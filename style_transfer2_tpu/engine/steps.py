@@ -6,6 +6,15 @@ The reference runs this loop as Python/NumPy around Caffe with a process
 boundary per iterate (worker.py:338-364); here the only host traffic is the
 returned trace scalars and whatever snapshot the caller fetches.
 
+Three composition levels:
+  * build_step_core / build_eval_core — pure functions, used by the batched
+    (vmap) and sharded paths in parallel/;
+  * build_step_fns — the jitted single-step pair for interactive serving
+    (control latency = 1 iteration, the reference guarantee);
+  * build_scan_fn — K steps fused into one lax.scan dispatch for benchmark /
+    batch workloads (zero host round-trips per iteration, the BASELINE.json
+    north star). Weights are fixed for the duration of one scan.
+
 Step functions are cached per (spec, optimizer, precision, ...) — jax.jit
 adds its own per-shape cache underneath, so resolution changes compile once
 per size bucket and are then free.
@@ -31,16 +40,15 @@ def precision_config(name):
 
 
 @functools.lru_cache(maxsize=64)
-def build_step_fns(spec, optimizer, precision='float32',
-                   b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT):
-    """Returns (step_fn, eval_fn). step_fn performs one optimizer iteration;
-    eval_fn primes L-BFGS's (loss, grad) cache (None for Adam).
+def build_step_core(spec, optimizer, precision='float32',
+                    b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT):
+    """Returns (step_core, eval_core) — pure, un-jitted.
 
     Signatures (all pytree args):
-      step_fn(params, state, inputs, step_size) -> (state', norms', trace)
-      eval_fn(params, state, inputs) -> (state', norms', trace)
+      step_core(params, state, inputs, step_size) -> (state', norms', trace)
+      eval_core(params, state, inputs) -> (state', norms', trace)
     where inputs = dict(content_feats=..., grams=..., layer_weights=...,
-    scalars=..., norms_vals=..., norms_set=...).
+    scalars=..., norms_vals=..., norms_set=...). eval_core is None for Adam.
     """
     lax_precision, compute_dtype = precision_config(precision)
     objective = make_objective(spec, lax_precision, compute_dtype)
@@ -56,28 +64,67 @@ def build_step_fns(spec, optimizer, precision='float32',
         return opfunc
 
     if optimizer == 'adam':
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step_fn(params, state, inputs, step_size):
+        def step_core(params, state, inputs, step_size):
             opfunc = make_opfunc(params, inputs)
             state_new, _, (norms, trace) = adam.step(
                 state, opfunc, step_size, b1, b2)
             return state_new, norms, trace
 
-        return step_fn, None
+        return step_core, None
 
     if optimizer == 'lbfgs':
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step_fn(params, state, inputs, step_size):
+        def step_core(params, state, inputs, step_size):
             opfunc = make_opfunc(params, inputs)
             state_new, _, (norms, trace) = lbfgs.step(state, opfunc, step_size)
             return state_new, norms, trace
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def eval_fn(params, state, inputs):
+        def eval_core(params, state, inputs):
             opfunc = make_opfunc(params, inputs)
             state_new, _, (norms, trace) = lbfgs.initial_eval(state, opfunc)
             return state_new, norms, trace
 
-        return step_fn, eval_fn
+        return step_core, eval_core
 
     raise ValueError('Unknown optimizer: %r' % (optimizer,))
+
+
+@functools.lru_cache(maxsize=64)
+def build_step_fns(spec, optimizer, precision='float32',
+                   b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT):
+    """The jitted (step_fn, eval_fn) pair for interactive single-stepping.
+    The optimizer state is donated — its buffers are reused in place."""
+    step_core, eval_core = build_step_core(spec, optimizer, precision, b1, b2)
+    step_fn = jax.jit(step_core, donate_argnums=(1,))
+    eval_fn = None if eval_core is None else jax.jit(eval_core,
+                                                     donate_argnums=(1,))
+    return step_fn, eval_fn
+
+
+@functools.lru_cache(maxsize=64)
+def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
+                  b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT):
+    """K optimizer steps fused into one dispatch via lax.scan.
+
+    scan_fn(params, state, inputs, step_size) -> (state', norms', traces)
+    where traces is a tuple of (n_steps,) arrays (one per trace key). The
+    norm state threads through the scan, so first-eval caching behaves
+    identically to K separate steps.
+    """
+    step_core, _ = build_step_core(spec, optimizer, precision, b1, b2)
+
+    def scan_fn(params, state, inputs, step_size):
+        def body(carry, _):
+            state, norms_vals, norms_set = carry
+            step_inputs = dict(inputs)
+            step_inputs['norms_vals'] = norms_vals
+            step_inputs['norms_set'] = norms_set
+            state_new, norms, trace = step_core(params, state, step_inputs,
+                                                step_size)
+            return (state_new, norms[0], norms[1]), trace
+
+        init = (state, inputs['norms_vals'], inputs['norms_set'])
+        (state, norms_vals, norms_set), traces = jax.lax.scan(
+            body, init, None, length=n_steps)
+        return state, (norms_vals, norms_set), traces
+
+    return jax.jit(scan_fn, donate_argnums=(1,))

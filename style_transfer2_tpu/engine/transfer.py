@@ -30,19 +30,26 @@ from .objective import (
     scalars_to_arrays,
     weights_to_arrays,
 )
-from .steps import build_step_fns, precision_config
+from .steps import build_scan_fn, build_step_fns, precision_config
 
 
 class StyleTransfer:
     """Performs image stylization by minimizing the fused objective with an
     optimizer pytree. API parity with reference worker.py:117-315."""
 
-    def __init__(self, params, precision='float32', n_corr=10):
+    def __init__(self, params, precision='float32', n_corr=10, placement=None):
+        """placement: optional parallel.SpatialPlacement — shards the image
+        axis of every array over a device mesh for high-res jobs; the same
+        jitted step then runs SPMD with XLA-inserted halo exchanges."""
         self.params = params
         self.precision = precision
         self.n_corr = n_corr
+        self.placement = placement
+        if placement is not None:
+            self.params = placement.replicated(params)
         lax_precision, compute_dtype = precision_config(precision)
-        self.model = vgg19.VGG19Features(params, lax_precision, compute_dtype)
+        self.model = vgg19.VGG19Features(self.params, lax_precision,
+                                         compute_dtype)
 
         self.is_running = False
         self.is_starting = False
@@ -70,6 +77,13 @@ class StyleTransfer:
 
         self.traces = []
 
+        # Device-resident caches: per-iteration host->device uploads over a
+        # TPU tunnel cost ~70 ms each, so the small step inputs (weight
+        # vectors, tv/p scalars, step size) are uploaded once and reused
+        # until set_weights/set_step_size invalidates them.
+        self._weights_cache = None   # (spec, layer_weights, scalars)
+        self._step_size_dev = None
+
     # -- properties ---------------------------------------------------------
 
     @property
@@ -82,6 +96,15 @@ class StyleTransfer:
 
     def layers(self):
         return list(vgg19.BLOB_NAMES)
+
+    def _place_image(self, x):
+        return x if self.placement is None else self.placement.image(x)
+
+    def _place_state(self, tree):
+        return tree if self.placement is None else self.placement.state(tree)
+
+    def _place_replicated(self, tree):
+        return tree if self.placement is None else self.placement.replicated(tree)
 
     def spec(self):
         return ObjectiveSpec.from_weights(self.weights, self.scalar_params)
@@ -109,22 +132,25 @@ class StyleTransfer:
         size = tuple(int(s) for s in size)
         if self._input is not None and self.opt_state is not None:
             mod = OPTIMIZERS[self.optimizer_name]
-            self.opt_state = mod.resample(self.opt_state, size)
+            self.opt_state = self._place_state(mod.resample(self.opt_state, size))
             self._input = self.opt_state['x']
             if self.optimizer_name == 'lbfgs':
                 self._needs_init = True
         else:
-            self._input = jnp.zeros((1,) + size + (3,), jnp.float32)
+            self._input = self._place_image(
+                jnp.zeros((1,) + size + (3,), jnp.float32))
         self._start()
         self.objective_changed()
 
     def resample_content(self, size):
         size = tuple(int(s) for s in size)
         if self.content is not None:
-            self.content = resize_nhwc(self.content, size, 'lanczos3')
+            self.content = self._place_image(
+                resize_nhwc(self.content, size, 'lanczos3'))
         else:
-            self.content = jnp.zeros((1,) + size + (3,), jnp.float32)
-        self.features = dict(self.model.forward(self.content))
+            self.content = self._place_image(
+                jnp.zeros((1,) + size + (3,), jnp.float32))
+        self.features = self._place_state(dict(self.model.forward(self.content)))
         self._start()
         self.objective_changed()
 
@@ -135,10 +161,11 @@ class StyleTransfer:
         if self._input is not None:
             mod = OPTIMIZERS[self.optimizer_name]
             if self.optimizer_name == 'lbfgs':
-                self.opt_state = mod.init(self._input, self.n_corr)
+                self.opt_state = self._place_state(
+                    mod.init(self._input, self.n_corr))
                 self._needs_init = True
             else:
-                self.opt_state = mod.init(self._input)
+                self.opt_state = self._place_state(mod.init(self._input))
                 self._needs_init = False
         else:
             self.opt_state = None
@@ -158,7 +185,7 @@ class StyleTransfer:
                     self.is_running = True
 
     def set_input(self, image):
-        image = vgg19.preprocess(image)
+        image = self._place_image(vgg19.preprocess(image))
         if self._input is not None and self._input.shape == image.shape:
             self._input = image
             if self.opt_state is not None:
@@ -167,7 +194,8 @@ class StyleTransfer:
             self.objective_changed()
         elif self.opt_state is not None:
             mod = OPTIMIZERS[self.optimizer_name]
-            self.opt_state = mod.resample(self.opt_state, None, new_x=image)
+            self.opt_state = self._place_state(
+                mod.resample(self.opt_state, None, new_x=image))
             self._input = self.opt_state['x']
             if self.optimizer_name == 'lbfgs':
                 self._needs_init = True
@@ -178,16 +206,16 @@ class StyleTransfer:
             self._start()
 
     def set_content(self, image):
-        self.content = vgg19.preprocess(image)
-        self.features = dict(self.model.forward(self.content))
+        self.content = self._place_image(vgg19.preprocess(image))
+        self.features = self._place_state(dict(self.model.forward(self.content)))
         self._start()
         self.objective_changed()
 
     def set_style(self, image):
-        image = vgg19.preprocess(image)
+        image = self._place_image(vgg19.preprocess(image))
         features = self.model.forward(image)
-        self.grams = {layer: gram_matrix(feat)
-                      for layer, feat in features.items()}
+        self.grams = self._place_replicated(
+            {layer: gram_matrix(feat) for layer, feat in features.items()})
         self._start()
         self.objective_changed()
 
@@ -200,15 +228,25 @@ class StyleTransfer:
 
     def set_step_size(self, step_size):
         self.step_size = float(step_size)
+        self._step_size_dev = None
 
     def set_weights(self, weights, params):
         self.weights = {name: dict(weights.get(name, {})) for name in LOSS_NAMES}
         self.scalar_params = dict(params)
+        self._weights_cache = None
         self.objective_changed()
 
     # -- stepping -------------------------------------------------------------
 
     def _gather_inputs(self, spec):
+        if self._weights_cache is None or self._weights_cache[0] != spec:
+            layer_weights = {l: jnp.asarray(v) for l, v in
+                             weights_to_arrays(self.weights, spec).items()}
+            scalars = {k: jnp.asarray(v) for k, v in
+                       scalars_to_arrays(self.scalar_params).items()}
+            self._weights_cache = (spec, layer_weights, scalars)
+        _, layer_weights, scalars = self._weights_cache
+
         norms_vals, norms_set = empty_norms(spec)
         for key in spec.norm_keys:
             if key in self.norm_vals:
@@ -217,11 +255,16 @@ class StyleTransfer:
         return {
             'content_feats': {l: self.features[l] for l in spec.content_layers},
             'grams': {l: self.grams[l] for l in spec.style_layers},
-            'layer_weights': weights_to_arrays(self.weights, spec),
-            'scalars': scalars_to_arrays(self.scalar_params),
+            'layer_weights': layer_weights,
+            'scalars': scalars,
             'norms_vals': norms_vals,
             'norms_set': norms_set,
         }
+
+    def _step_size_device(self):
+        if self._step_size_dev is None:
+            self._step_size_dev = jnp.float32(self.step_size)
+        return self._step_size_dev
 
     def _absorb(self, spec, norms, trace_vals):
         norms_vals, norms_set = norms
@@ -238,13 +281,7 @@ class StyleTransfer:
         self.traces.append(trace)
         return trace
 
-    def step(self):
-        """Runs one optimizer iteration. Returns (deprocessed HxWx3 float32
-        RGB image, trace dict) like reference worker.py:303-310."""
-        self.t += 1
-        spec = self.spec()
-        step_fn, eval_fn = build_step_fns(spec, self.optimizer_name,
-                                          self.precision)
+    def _prime_if_needed(self, spec, eval_fn):
         if self._needs_init:
             inputs = self._gather_inputs(spec)
             self.opt_state, norms, trace_vals = eval_fn(
@@ -252,15 +289,67 @@ class StyleTransfer:
             self._absorb(spec, norms, trace_vals)
             self._needs_init = False
 
+    def step(self, fetch_image=True):
+        """Runs one optimizer iteration. Returns (deprocessed HxWx3 float32
+        RGB image, trace dict) like reference worker.py:303-310. With
+        fetch_image=False the image stays on device (None is returned) —
+        callers that snapshot on a throttle avoid the host transfer."""
+        self.t += 1
+        spec = self.spec()
+        step_fn, eval_fn = build_step_fns(spec, self.optimizer_name,
+                                          self.precision)
+        self._prime_if_needed(spec, eval_fn)
+
         inputs = self._gather_inputs(spec)
         self.opt_state, norms, trace_vals = step_fn(
-            self.params, self.opt_state, inputs,
-            jnp.float32(self.step_size))
+            self.params, self.opt_state, inputs, self._step_size_device())
         self._input = self.opt_state['x']
         trace = self._absorb(spec, norms, trace_vals)
         trace('fevals', self.t)
-        image = np.asarray(vgg19.deprocess(self._input))
+        image = np.asarray(vgg19.deprocess(self._input)) if fetch_image else None
         return image, trace.data
+
+    def run_steps(self, n_steps, fetch_image=True):
+        """Runs n_steps optimizer iterations fused into ONE device dispatch
+        (lax.scan) — zero host round-trips per iteration. Weights and step
+        size are fixed for the duration (interactive serving uses step()
+        instead so changes apply within one iteration). Appends one trace
+        per iteration; returns (image-or-None, last trace dict)."""
+        spec = self.spec()
+        _, eval_fn = build_step_fns(spec, self.optimizer_name, self.precision)
+        self._prime_if_needed(spec, eval_fn)
+
+        scan_fn = build_scan_fn(spec, self.optimizer_name, self.precision,
+                                n_steps)
+        inputs = self._gather_inputs(spec)
+        self.opt_state, norms, traces = scan_fn(
+            self.params, self.opt_state, inputs, self._step_size_device())
+        self._input = self.opt_state['x']
+
+        norms_vals, norms_set = norms
+        for key in spec.norm_keys:
+            self.norm_vals[key] = norms_vals[key]
+            self.norm_set[key] = norms_set[key]
+        # One host transfer for all n_steps traces.
+        columns = [np.asarray(col) for col in jax.device_get(traces)]
+        now = time.perf_counter()
+        trace = None
+        for i in range(n_steps):
+            self.t += 1
+            trace = Trace()
+            for key, col in zip(spec.trace_keys, columns):
+                if key == 'loss':
+                    trace('time', now)
+                trace(key, float(col[i]))
+            trace('fevals', self.t)
+            self.traces.append(trace)
+        image = np.asarray(vgg19.deprocess(self._input)) if fetch_image else None
+        return image, trace.data
+
+    def snapshot(self):
+        """Fetches the current iterate as a deprocessed HxWx3 float32 RGB
+        array (one host transfer)."""
+        return np.asarray(vgg19.deprocess(self._input))
 
     def write_trace(self, filename):
         """Dumps the accumulated trace history to CSV (worker.py:312-315)."""

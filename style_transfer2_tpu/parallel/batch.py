@@ -1,0 +1,78 @@
+"""Batched serving: concurrent user jobs as vmapped batch lanes.
+
+The reference serves N concurrent users with N (app + worker) OS-process
+pairs behind a cookie-affine router (router.py:73-83) — whole-job
+granularity. The TPU-native equivalent runs jobs of the same resolution
+bucket as lanes of ONE batched step: jax.vmap folds the per-lane VGG
+forward/backward into batched convs on the MXU, and the lane axis shards
+over the mesh 'data' axis, so a v5e-4 slice serves 4+ jobs at full
+utilization with one dispatch.
+
+Per-lane independence is exact: every lane has its own iterate, optimizer
+state, content features, style Grams, loss weights, step size, and first-eval
+norm state — vmap(step_core) is semantically identical to running
+step_core per lane (tested in tests/test_parallel.py).
+
+Lanes in one batch share the objective STRUCTURE (ObjectiveSpec); weight
+VALUES vary per lane. A serving tier buckets jobs by (resolution, spec) —
+see serve/driver.py.
+"""
+
+import functools
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..engine.steps import build_step_core
+from ..optim import adam as _adam
+
+
+@functools.lru_cache(maxsize=64)
+def build_batched_step_fns(spec, optimizer, precision='float32',
+                           b1=_adam.B1_DEFAULT, b2=_adam.B2_DEFAULT):
+    """Returns (batched_step, batched_eval): the fused step vmapped over a
+    leading lane axis on (state, inputs, step_size); params are broadcast.
+
+      batched_step(params, states, inputs, step_sizes)
+        -> (states', norms', traces)   # every output has a leading lane axis
+    """
+    step_core, eval_core = build_step_core(spec, optimizer, precision, b1, b2)
+    batched_step = jax.jit(jax.vmap(step_core, in_axes=(None, 0, 0, 0)),
+                           donate_argnums=(1,))
+    batched_eval = None
+    if eval_core is not None:
+        batched_eval = jax.jit(jax.vmap(eval_core, in_axes=(None, 0, 0)),
+                               donate_argnums=(1,))
+    return batched_step, batched_eval
+
+
+def stack_lanes(trees):
+    """Stacks a list of per-lane pytrees along a new leading lane axis."""
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *trees)
+
+
+def unstack_lane(tree, i):
+    """Extracts lane i from a stacked pytree."""
+    return jax.tree_util.tree_map(lambda leaf: leaf[i], tree)
+
+
+class DataPlacement:
+    """Shards the leading lane axis of stacked pytrees over the mesh 'data'
+    axis (scalar leaves replicate)."""
+
+    def __init__(self, mesh, axis='data'):
+        if axis not in mesh.axis_names:
+            axis = mesh.axis_names[0]
+        self.mesh = mesh
+        self.axis = axis
+
+    def place(self, tree):
+        def put(leaf):
+            ndim = getattr(leaf, 'ndim', 0)
+            if ndim == 0:
+                spec = P()
+            else:
+                spec = P(self.axis, *([None] * (ndim - 1)))
+            return jax.device_put(leaf, NamedSharding(self.mesh, spec))
+        return jax.tree_util.tree_map(put, tree)

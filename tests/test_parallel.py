@@ -1,0 +1,188 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4.4): spatial
+sharding of the fused step, batched (vmapped) serving lanes, mesh helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer2_tpu.engine import StyleTransfer
+from style_transfer2_tpu.engine.objective import (
+    ObjectiveSpec, empty_norms, scalars_to_arrays, weights_to_arrays)
+from style_transfer2_tpu.engine.steps import build_step_core
+from style_transfer2_tpu.models import random_params, preprocess
+from style_transfer2_tpu.models.vgg19 import VGG19Features
+from style_transfer2_tpu.ops.gram import gram_matrix
+from style_transfer2_tpu.optim import adam
+from style_transfer2_tpu.parallel import (
+    DataPlacement, SpatialPlacement, build_batched_step_fns, make_mesh,
+    stack_lanes, unstack_lane)
+
+WEIGHTS = {
+    'content': {'conv2_2': 0.1},
+    'style': {'conv1_1': 1.0, 'conv2_1': 1.0},
+    'deepdream': {},
+}
+SCALARS = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+
+
+def test_make_mesh_shapes():
+    assert len(jax.devices()) == 8
+    m = make_mesh('auto')
+    assert m.devices.shape == (8,)
+    m = make_mesh('2x4')
+    assert m.devices.shape == (2, 4)
+    assert m.axis_names == ('data', 'space')
+    m = make_mesh(4)
+    assert m.devices.shape == (4,)
+    with pytest.raises(ValueError):
+        make_mesh('4x4')
+
+
+def _run_transfer(placement, n_steps=3, optimizer='adam'):
+    rng = np.random.RandomState(3)
+    st = StyleTransfer(random_params(2), placement=placement)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer(optimizer)
+    st.set_step_size(10.0 if optimizer == 'adam' else 1.0)
+    st.set_content(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+    st.set_style(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+    st.set_input(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+    assert st.start()
+    traces = []
+    img = None
+    for _ in range(n_steps):
+        img, trace = st.step()
+        traces.append(trace)
+    return img, traces
+
+
+@pytest.mark.parametrize('optimizer', ['adam', 'lbfgs'])
+def test_spatial_sharding_matches_single_device(optimizer):
+    mesh = make_mesh('2x4')
+    placement = SpatialPlacement(mesh)  # H axis over 4 devices
+    img_sharded, traces_sharded = _run_transfer(placement, optimizer=optimizer)
+    img_single, traces_single = _run_transfer(None, optimizer=optimizer)
+
+    for ts, tu in zip(traces_sharded, traces_single):
+        for key in tu:
+            if key in ('time',):
+                continue
+            np.testing.assert_allclose(
+                ts[key], tu[key], rtol=5e-4, atol=1e-6,
+                err_msg='trace key %r diverged under spatial sharding' % key)
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=0.1)
+
+
+def test_spatial_sharding_actually_shards():
+    mesh = make_mesh('2x4')
+    placement = SpatialPlacement(mesh)
+    x = placement.image(jnp.zeros((1, 64, 64, 3)))
+    shard_shapes = {s.data.shape for s in x.addressable_shards}
+    assert shard_shapes == {(1, 16, 64, 3)}  # 64 rows over 4 'space' devices
+
+
+def _lane_inputs(st, spec):
+    return st._gather_inputs(spec)
+
+
+def test_batched_lanes_match_single(rng):
+    """vmapped lanes with per-lane weights/step sizes == independent runs."""
+    params = random_params(2)
+    spec = ObjectiveSpec.from_weights(WEIGHTS, SCALARS)
+    step_core, _ = build_step_core(spec, 'adam')
+    model = VGG19Features(params)
+
+    lanes = []
+    for i in range(3):
+        r = np.random.RandomState(10 + i)
+        content = preprocess(r.randint(0, 256, (24, 24, 3)))
+        style = preprocess(r.randint(0, 256, (24, 24, 3)))
+        inp = preprocess(r.randint(0, 256, (24, 24, 3)))
+        feats = model.forward(content)
+        grams = {l: gram_matrix(f) for l, f in model.forward(style).items()}
+        weights = {k: dict(v) for k, v in WEIGHTS.items()}
+        weights['style']['conv1_1'] = 1.0 + i  # per-lane weight values
+        nv, ns = empty_norms(spec)
+        inputs = {
+            'content_feats': {l: feats[l] for l in spec.content_layers},
+            'grams': {l: grams[l] for l in spec.style_layers},
+            'layer_weights': weights_to_arrays(weights, spec),
+            'scalars': scalars_to_arrays(SCALARS),
+            'norms_vals': nv, 'norms_set': ns,
+        }
+        lanes.append({'state': adam.init(inp), 'inputs': inputs,
+                      'step_size': jnp.float32(5.0 + i)})
+
+    # Reference: independent single-lane steps (2 iterations each).
+    single = []
+    for lane in lanes:
+        state, inputs = lane['state'], lane['inputs']
+        for _ in range(2):
+            state, norms, trace = step_core(params, state, inputs,
+                                            lane['step_size'])
+            inputs = dict(inputs)
+            inputs['norms_vals'], inputs['norms_set'] = norms
+        single.append((state, trace))
+
+    # Batched: stacked lanes, 2 iterations.
+    batched_step, _ = build_batched_step_fns(spec, 'adam')
+    states = stack_lanes([l['state'] for l in lanes])
+    inputs = stack_lanes([l['inputs'] for l in lanes])
+    step_sizes = jnp.stack([l['step_size'] for l in lanes])
+    for _ in range(2):
+        states, norms, traces = batched_step(params, states, inputs,
+                                             step_sizes)
+        inputs = dict(inputs)
+        inputs['norms_vals'], inputs['norms_set'] = norms
+
+    for i, (state_ref, trace_ref) in enumerate(single):
+        lane_state = unstack_lane(states, i)
+        # vmap reorders conv reductions; tolerance covers float32 noise.
+        np.testing.assert_allclose(np.asarray(lane_state['x']),
+                                   np.asarray(state_ref['x']),
+                                   rtol=3e-4, atol=1e-4)
+        for k, (got, want) in enumerate(zip(jax.device_get(traces),
+                                            jax.device_get(trace_ref))):
+            np.testing.assert_allclose(
+                got[i], want, rtol=1e-4, atol=1e-6,
+                err_msg='lane %d trace #%d (%s)' % (i, k, spec.trace_keys[k]))
+
+
+def test_batched_lanes_sharded_over_data_axis(rng):
+    """The stacked lane axis shards over the mesh 'data' axis and the
+    batched step runs SPMD."""
+    params = random_params(2)
+    spec = ObjectiveSpec.from_weights(WEIGHTS, SCALARS)
+    model = VGG19Features(params)
+    mesh = make_mesh('2x4')
+    placement = DataPlacement(mesh)
+
+    lanes = []
+    for i in range(2):
+        r = np.random.RandomState(20 + i)
+        content = preprocess(r.randint(0, 256, (16, 16, 3)))
+        style = preprocess(r.randint(0, 256, (16, 16, 3)))
+        inp = preprocess(r.randint(0, 256, (16, 16, 3)))
+        feats = model.forward(content)
+        grams = {l: gram_matrix(f) for l, f in model.forward(style).items()}
+        nv, ns = empty_norms(spec)
+        inputs = {
+            'content_feats': {l: feats[l] for l in spec.content_layers},
+            'grams': {l: grams[l] for l in spec.style_layers},
+            'layer_weights': weights_to_arrays(WEIGHTS, spec),
+            'scalars': scalars_to_arrays(SCALARS),
+            'norms_vals': nv, 'norms_set': ns,
+        }
+        lanes.append({'state': adam.init(inp), 'inputs': inputs})
+
+    states = placement.place(stack_lanes([l['state'] for l in lanes]))
+    inputs = placement.place(stack_lanes([l['inputs'] for l in lanes]))
+    step_sizes = placement.place(jnp.ones((2,), jnp.float32) * 5.0)
+
+    batched_step, _ = build_batched_step_fns(spec, 'adam')
+    states, norms, traces = batched_step(params, states, inputs, step_sizes)
+    loss_idx = spec.trace_keys.index('loss')
+    losses = np.asarray(traces[loss_idx])
+    assert losses.shape == (2,)
+    assert np.isfinite(losses).all()

@@ -1,0 +1,66 @@
+"""run_steps (fused lax.scan) must be step-for-step identical to repeated
+single steps — same traces, same final iterate, same norm-cache behavior."""
+
+import numpy as np
+
+from style_transfer2_tpu.engine import StyleTransfer
+from style_transfer2_tpu.models import random_params
+
+WEIGHTS = {
+    'content': {'conv2_2': 0.1},
+    'style': {'conv1_1': 1.0, 'conv2_1': 1.0},
+    'deepdream': {},
+}
+SCALARS = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+
+
+def _make(rng, optimizer):
+    params = random_params(11)
+    content = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    style = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    inp = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    st = StyleTransfer(params)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer(optimizer)
+    st.set_step_size({'adam': 10.0, 'lbfgs': 1.0}[optimizer])
+    st.set_content(content)
+    st.set_style(style)
+    st.set_input(inp)
+    assert st.start()
+    return st
+
+
+def test_scan_matches_single_steps(rng):
+    for optimizer in ('adam', 'lbfgs'):
+        seed = np.random.RandomState(5)
+        a = _make(seed, optimizer)
+        seed = np.random.RandomState(5)
+        b = _make(seed, optimizer)
+
+        imgs_a = []
+        for _ in range(4):
+            img, _ = a.step()
+            imgs_a.append(img)
+        img_b, _ = b.run_steps(4)
+
+        assert a.t == b.t == 4
+        assert len(a.traces) == len(b.traces)
+        for ta, tb in zip(a.traces, b.traces):
+            for key in ta.data:
+                if key in ('time',):
+                    continue
+                np.testing.assert_allclose(
+                    ta.data[key], tb.data[key], rtol=1e-5, atol=1e-7,
+                    err_msg='%s/%s' % (optimizer, key))
+        np.testing.assert_allclose(imgs_a[-1], img_b, rtol=1e-5, atol=1e-4)
+
+
+def test_scan_then_step_continues(rng):
+    st = _make(rng, 'adam')
+    st.run_steps(2, fetch_image=False)
+    img, trace = st.step()
+    assert st.t == 3
+    assert trace['fevals'] == 3
+    assert np.isfinite(trace['loss'])
+    snap = st.snapshot()
+    np.testing.assert_allclose(snap, img, rtol=1e-6)
