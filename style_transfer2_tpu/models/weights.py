@@ -21,6 +21,45 @@ import numpy as np
 from .vgg19 import CONV_SPECS, _IN_CHANNELS
 
 
+def resolve_params(spec='auto', root=None):
+    """Resolves config-level weight specs to a params dict.
+
+    'auto': tries models/vgg19.npz, then models/vgg19.caffemodel under the
+    repo root, then falls back to deterministic random weights (logged).
+    An explicit path loads by extension ('.npz' or '.caffemodel').
+    """
+    import logging
+    from pathlib import Path
+    logger = logging.getLogger('weights')
+
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    root = Path(root)
+
+    if spec in ('auto', '', None):
+        npz = root / 'models' / 'vgg19.npz'
+        caffemodel = root / 'models' / 'vgg19.caffemodel'
+        if npz.exists():
+            logger.info('Loading weights from %s', npz)
+            return load_params(npz)
+        if caffemodel.exists():
+            logger.info('Converting weights from %s', caffemodel)
+            return params_from_caffemodel(caffemodel)
+        logger.warning('No VGG-19 weights found under %s; using deterministic '
+                       'random weights (see download_models.sh)', root / 'models')
+        return random_params(0)
+    if str(spec) == 'random':
+        return random_params(0)
+    path = Path(spec)
+    if not path.is_absolute():
+        path = root / path
+    if path.suffix == '.npz':
+        return load_params(path)
+    if path.suffix == '.caffemodel':
+        return params_from_caffemodel(path)
+    raise ValueError('Unsupported weights spec: %r' % (spec,))
+
+
 def random_params(seed=0, dtype=np.float32):
     """Deterministic He-normal random weights; used by tests and benchmarks
     (feature statistics resemble a trained net closely enough for perf work).

@@ -1,0 +1,137 @@
+"""The TPU driver task — the reference's worker process, in-process.
+
+Replicates Worker's control flow (reference worker.py:318-409): when
+running, drain ALL pending messages first (control latency <= 1 iteration),
+then take ONE optimizer step and emit an Iterate; when idle, block on the
+queue. A fresh driver with incomplete state answers StartIteration with
+GetImages so the app re-sends the slots (the bootstrap/crash-recovery
+handshake, worker.py:399-401).
+
+Device work (steps, feature forwards) runs on a single executor thread so
+the aiohttp event loop never blocks; the driver task is the only mutator of
+the StyleTransfer state, so there is no cross-task race by construction
+(the same safety argument as the reference's single-threaded worker).
+"""
+
+import asyncio
+import concurrent.futures
+import logging
+
+from ..engine.transfer import StyleTransfer
+from . import messages as m
+
+logger = logging.getLogger('driver')
+
+
+class Driver:
+    """Owns the device and the StyleTransfer engine; talks to the app over
+    a pair of asyncio queues."""
+
+    def __init__(self, params, precision='float32', placement=None,
+                 loop=None):
+        self.in_queue = asyncio.Queue()
+        self.out_queue = asyncio.Queue()
+        self.transfer = StyleTransfer(params, precision=precision,
+                                      placement=placement)
+        self.loop = loop or asyncio.get_event_loop()
+        # One thread owns all device calls; queue depth 1 keeps ordering.
+        self.executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix='tpu-driver')
+        self.should_stop = False
+
+    async def _device(self, fn, *args):
+        """Runs a blocking device call off the event loop."""
+        return await self.loop.run_in_executor(self.executor, fn, *args)
+
+    async def start(self):
+        await self.out_queue.put(m.WorkerReady(layers=self.transfer.layers()))
+
+    async def run(self):
+        """Main loop, mirroring reference worker.py:338-364."""
+        await self.start()
+        try:
+            while not self.should_stop:
+                if self.transfer.is_running:
+                    # Drain everything pending, then take one step.
+                    while not self.in_queue.empty():
+                        msg = self.in_queue.get_nowait()
+                        if await self.process_message(msg):
+                            self.should_stop = True
+                            break
+                    if self.should_stop:
+                        break
+                    if not self.transfer.is_running:
+                        continue
+                    if self.transfer.check_consistency():
+                        image, trace = await self._device(self.transfer.step)
+                        await self.out_queue.put(
+                            m.Iterate(image, self.transfer.t, trace))
+                    else:
+                        await self.out_queue.put(m.GetImages())
+                        # Wait for the app's reply instead of spinning.
+                        msg = await self.in_queue.get()
+                        if await self.process_message(msg):
+                            break
+                    continue
+                msg = await self.in_queue.get()
+                if await self.process_message(msg):
+                    break
+        except asyncio.CancelledError:
+            pass
+        finally:
+            await self.out_queue.put(m.Shutdown())
+            self.executor.shutdown(wait=False)
+
+    async def process_message(self, msg):
+        """Dispatches one message; returns True on Shutdown
+        (reference worker.py:366-409)."""
+        t = self.transfer
+
+        def is_image(obj):
+            return obj is not None and not isinstance(obj, int)
+
+        if isinstance(msg, m.SetImages):
+            if is_image(msg.input_image):
+                await self._device(t.set_input, msg.input_image)
+            elif msg.input_image == m.SetImages.RESAMPLE:
+                await self._device(t.resample_input, tuple(msg.size))
+
+            if is_image(msg.content_image):
+                await self._device(t.set_content, msg.content_image)
+            elif msg.content_image == m.SetImages.RESAMPLE:
+                await self._device(t.resample_content, tuple(msg.size))
+
+            if is_image(msg.style_image):
+                await self._device(t.set_style, msg.style_image)
+
+            if msg.reset_state:
+                await self._device(t.reset)
+
+        elif isinstance(msg, m.SetOptimizer):
+            # The worker resets when the optimizer INSTANCE doesn't match the
+            # class — i.e. on a type change or when none exists yet
+            # (reference worker.py:387-391).
+            changed = (msg.optimizer != t.optimizer_name
+                       or t.opt_state is None)
+            t.set_optimizer(msg.optimizer)
+            t.set_step_size(msg.step_size)
+            if changed:
+                await self._device(t.reset)
+
+        elif isinstance(msg, m.SetWeights):
+            t.set_weights(msg.weights, msg.params)
+
+        elif isinstance(msg, m.Shutdown):
+            return True
+
+        elif isinstance(msg, m.StartIteration):
+            if not t.start():
+                await self.out_queue.put(m.GetImages())
+
+        elif isinstance(msg, m.PauseIteration):
+            t.pause()
+
+        else:
+            logger.error('Invalid message received: %r', msg)
+
+        return False

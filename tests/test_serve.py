@@ -1,0 +1,336 @@
+"""Serving-tier tests (SURVEY.md §4.3/4.5): the driver message protocol with
+the real engine on CPU, and the full aiohttp app end-to-end — upload ->
+start -> iterateInfo -> /output — plus the router registry/affinity logic."""
+
+import asyncio
+import base64
+import configparser
+import io
+import json
+
+import numpy as np
+import pytest
+from aiohttp import WSMsgType
+from aiohttp.test_utils import TestClient, TestServer
+from PIL import Image
+
+from style_transfer2_tpu.models import random_params
+from style_transfer2_tpu.serve import messages as m
+from style_transfer2_tpu.serve.driver import Driver
+
+
+def run(coro, timeout=300):
+    return asyncio.run(asyncio.wait_for(coro, timeout))
+
+
+def _image_bytes(size=(32, 32), seed=0, fmt='png'):
+    rng = np.random.RandomState(seed)
+    img = Image.fromarray(rng.randint(0, 256, size + (3,)).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format=fmt)
+    return buf.getvalue()
+
+
+def _data_url(size=(32, 32), seed=0):
+    return ('data:image/png;base64,'
+            + base64.b64encode(_image_bytes(size, seed)).decode())
+
+
+WEIGHTS = {'content': {'conv2_2': 0.1},
+           'style': {'conv1_1': 1.0, 'conv2_1': 1.0},
+           'deepdream': {}}
+SCALARS = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+
+
+# -- Driver protocol tests (reference §3.1/3.2 handshakes) --------------------
+
+async def _drain_until(driver, msg_type, limit=50):
+    for _ in range(limit):
+        msg = await asyncio.wait_for(driver.out_queue.get(), 240)
+        if isinstance(msg, msg_type):
+            return msg
+    raise AssertionError('no %s received' % msg_type.__name__)
+
+
+def test_driver_bootstrap_handshake():
+    """StartIteration with empty slots must answer GetImages; after the app
+    re-sends the images, iteration proceeds (worker.py:399-401)."""
+    async def body():
+        driver = Driver(random_params(0))
+        task = asyncio.ensure_future(driver.run())
+
+        ready = await _drain_until(driver, m.WorkerReady)
+        assert 'conv5_4' in ready.layers and 'data' in ready.layers
+
+        await driver.in_queue.put(m.StartIteration())
+        await _drain_until(driver, m.GetImages)
+
+        rng = np.random.RandomState(0)
+        content = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        style = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        inp = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, inp, content, style, True))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+
+        it = await _drain_until(driver, m.Iterate)
+        assert it.i == 1
+        assert np.isfinite(it.trace['loss'])
+        assert it.image.shape == (24, 24, 3)
+
+        it2 = await _drain_until(driver, m.Iterate)
+        assert it2.i == 2
+
+        await driver.in_queue.put(m.PauseIteration())
+        await driver.in_queue.put(m.Shutdown())
+        await _drain_until(driver, m.Shutdown)
+        await task
+    run(body())
+
+
+def test_driver_pause_and_weight_change():
+    async def body():
+        driver = Driver(random_params(0))
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+
+        rng = np.random.RandomState(1)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+        await _drain_until(driver, m.Iterate)
+
+        # Pause: no more Iterates after the queue drains.
+        await driver.in_queue.put(m.PauseIteration())
+        await asyncio.sleep(0.3)
+        while not driver.out_queue.empty():
+            driver.out_queue.get_nowait()
+        assert not driver.transfer.is_running
+
+        # Weight change applies and iteration resumes.
+        new_weights = {'content': {'conv2_2': 0.5},
+                       'style': {'conv1_1': 2.0}, 'deepdream': {}}
+        await driver.in_queue.put(m.SetWeights(new_weights, SCALARS))
+        await driver.in_queue.put(m.StartIteration())
+        it = await _drain_until(driver, m.Iterate)
+        assert it.trace['fevals'] > 0
+        assert driver.transfer.weights['content']['conv2_2'] == 0.5
+
+        await driver.in_queue.put(m.Shutdown())
+        await task
+    run(body())
+
+
+# -- Full web-app E2E ----------------------------------------------------------
+
+def _test_config(tmp_path):
+    cp = configparser.ConfigParser()
+    cp['DEFAULT'] = {
+        'debug': '0',
+        'initial_content': 'examples/golden_gate.jpg',
+        'initial_style': 'examples/starry_night.jpg',
+        'initial_size': '48',
+        'initial_weights': 'initial_weights.yaml',
+        'http_host': '127.0.0.1',
+        'http_port': '8000',
+        'max_size': '96',
+        'weights': 'random',
+        'precision': 'float32',
+    }
+    return cp['DEFAULT']
+
+
+@pytest.fixture
+def app_client(tmp_path):
+    from style_transfer2_tpu.serve.app import init
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    app = init(config=_test_config(tmp_path))
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+def test_app_end_to_end(app_client):
+    client, loop = app_client
+
+    async def body():
+        # Index page renders with the params UI.
+        resp = await client.get('/')
+        assert resp.status == 200
+        html = await resp.text()
+        assert 'Style Transfer' in html and 'params' in html
+
+        # Static assets are served.
+        resp = await client.get('/app.js')
+        assert resp.status == 200
+
+        # /output returns a valid PNG of the initial random input.
+        resp = await client.get('/output')
+        assert resp.status == 200
+        img = Image.open(io.BytesIO(await resp.read()))
+        assert img.size[0] <= 48 and img.size[1] <= 48
+
+        # WebSocket: initial state + start -> iterateInfo frames.
+        ws = await client.ws_connect('/websocket')
+        got = {}
+        async def recv_until(wanted, limit=200):
+            for _ in range(limit):
+                msg = await asyncio.wait_for(ws.receive(), 240)
+                assert msg.type == WSMsgType.TEXT, msg
+                data = json.loads(msg.data)
+                got[data['type']] = data
+                if data['type'] == wanted:
+                    return data
+            raise AssertionError('never received %s (got %s)'
+                                 % (wanted, list(got)))
+
+        await recv_until('workerReady')
+        await recv_until('state')
+        assert 'newParams' in got and 'newSize' in got
+
+        await ws.send_str(json.dumps({'type': 'start'}))
+        info = await recv_until('iterateInfo')
+        assert info['i'] >= 1
+        assert np.isfinite(info['trace']['loss'])
+        assert 'itsPerS' in info and 'stepSize' in info
+
+        # Mid-run params change round-trips and echoes newParams (no error).
+        params_doc = got['newParams']['params']
+        import yaml as _yaml
+        params = _yaml.safe_load(params_doc)
+        params['optimizer'] = 'adam'
+        params['optimizer_step_size'] = 5
+        params['weights'][0]['style']['conv2_1'] = 2.0
+        got.pop('newParams')
+        await ws.send_str(json.dumps({'type': 'applyParams',
+                                      'params': _yaml.safe_dump(params)}))
+        new_params = await recv_until('newParams')
+        assert new_params['errorString'] == ''
+
+        # Invalid layer name is rejected with a readable error.
+        bad = dict(params)
+        bad['weights'] = [{'content': {'nope_1': 1}, 'style': {},
+                           'deepdream': {}}, params['weights'][1]]
+        await ws.send_str(json.dumps({'type': 'applyParams',
+                                      'params': _yaml.safe_dump(bad)}))
+        new_params = await recv_until('newParams')
+        assert 'Invalid layer name' in new_params['errorString']
+
+        # Pause stops the run.
+        await ws.send_str(json.dumps({'type': 'pause'}))
+        state = await recv_until('state')
+        assert state['running'] is False
+
+        # Upload a content image: triggers newSize + thumbnails.
+        got.pop('thumbnails', None)
+        resp = await client.post('/upload', data={
+            'size': '48', 'slot': 'content', 'data': _data_url((40, 40), 7)})
+        assert resp.status == 200
+        await recv_until('thumbnails')
+
+        # Reset produces a fresh random input.
+        await ws.send_str(json.dumps({'type': 'reset'}))
+        await asyncio.sleep(0.2)
+
+        await ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 300))
+
+
+def test_app_restart_worker_recovers(app_client):
+    client, loop = app_client
+
+    async def body():
+        ws = await client.ws_connect('/websocket')
+
+        async def recv_until(wanted, limit=300):
+            for _ in range(limit):
+                msg = await asyncio.wait_for(ws.receive(), 240)
+                data = json.loads(msg.data)
+                if data['type'] == wanted:
+                    return data
+            raise AssertionError('never received %s' % wanted)
+
+        await recv_until('workerReady')
+        # Kill the worker (fault injection, reference app.py:146-149); the
+        # supervisor must respawn it and it must come back ready.
+        await ws.send_str(json.dumps({'type': 'restartWorker'}))
+        await recv_until('workerReady')
+
+        # And it still iterates after recovery.
+        await ws.send_str(json.dumps({'type': 'start'}))
+        info = await recv_until('iterateInfo')
+        assert np.isfinite(info['trace']['loss'])
+        await ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 300))
+
+
+# -- Router registry/affinity --------------------------------------------------
+
+def test_router_registry_and_expiry(tmp_path):
+    from style_transfer2_tpu.serve import router as router_mod
+
+    async def body():
+        config = configparser.ConfigParser()
+        config['DEFAULT'] = {'router_session_timeout': '1'}
+        app = router_mod.init(config=config['DEFAULT'],
+                              state_file=str(tmp_path / 'state.json'))
+        app['addrs'] = {}
+        app['sessions'] = {}
+
+        # Register two instances via the control plane.
+        control = router_mod.make_control_app(app)
+        client = TestClient(TestServer(control))
+        await client.start_server()
+        for i in range(2):
+            resp = await client.post('/__register', json={
+                'addr': 'http://127.0.0.1:90%02d/__control/reset' % i,
+                'host': '127.0.0.1', 'port': 9000 + i, 'app_id': 'id%d' % i})
+            assert resp.status == 200
+        assert len(app['addrs']) == 2
+
+        # Heartbeat from a known instance only refreshes last_ping.
+        inst = list(app['addrs'].values())[0]
+        old_ping = inst.last_ping
+        await asyncio.sleep(0.02)
+        await client.post('/__register', json={
+            'addr': inst.addr, 'host': inst.host, 'port': inst.port,
+            'app_id': inst.app_id})
+        assert inst.last_ping > old_ping
+        assert len(app['addrs']) == 2
+
+        # Session assignment: fills lanes, 503 when exhausted.
+        for instance in app['addrs'].values():
+            instance.session_id = 'taken'
+        app['sessions']['taken'] = inst
+
+        # Expiry: stale ping evicts the instance.
+        import time
+        for instance in app['addrs'].values():
+            instance.last_ping = time.monotonic() - 999
+            instance.last_access = time.monotonic() - 999
+        await router_mod.expire_state(app, run_once=True)
+        assert len(app['addrs']) == 1  # one eviction per sweep
+        await router_mod.expire_state(app, run_once=True)
+        assert len(app['addrs']) == 0
+
+        # Unregister is idempotent.
+        resp = await client.post('/__unregister', json={'app_id': 'id0'})
+        assert resp.status == 200
+        await client.close()
+
+        # State persists and reloads.
+        app['addrs']['a'] = router_mod.AppInstance(
+            'http://x/__control/reset', 'h', 1, 'idz')
+        router_mod.save_state(app)
+        app2 = {'addrs': {}, 'sessions': {},
+                'state_file': str(tmp_path / 'state.json')}
+        router_mod.load_state(app2)
+        assert 'http://x/__control/reset' in app2['addrs']
+    run(body())
