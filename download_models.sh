@@ -1,0 +1,14 @@
+#!/bin/bash
+# Fetches the truncated VGG-19 weights the reference uses (a Caffe
+# .caffemodel; models/weights.py parses it directly — no Caffe needed).
+# See http://www.robots.ox.ac.uk/~vgg/research/very_deep/.
+set -e
+
+url='https://style-transfer.s3-us-west-2.amazonaws.com/vgg19.caffemodel'
+
+echo 'Downloading the truncated VGG-19 pre-trained model.'
+mkdir -p models
+curl -L "$url" > models/vgg19.caffemodel.download
+mv models/vgg19.caffemodel.download models/vgg19.caffemodel
+echo 'Done. Optionally convert to the native format:'
+echo '  python -c "from style_transfer2_tpu.models import *; save_params(params_from_caffemodel(\"models/vgg19.caffemodel\"), \"models/vgg19.npz\")"'

@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""Command-line style transfer: the headless counterpart of the web app.
+
+Reproduces the benchmark configurations end-to-end (BASELINE.json):
+single-scale runs (config 1), the multi-scale coarse-to-fine schedule with
+warm-started optimizer state (config 2 — the automated version of the
+reference's user-paced resolution ladder, using the sqrt(2) scales() ladder
+the reference shipped but never wired up, utils.py:193-207), spatial
+sharding for high resolutions (config 4), checkpoint/resume, and a Trace
+CSV dump compatible with StyleTransfer.write_trace (worker.py:312-315).
+
+Example:
+  python -m style_transfer2_tpu.cli content.jpg style.jpg -o out.png \\
+      --size 1024 --multi-scale --iterations 150 --trace-csv trace.csv
+"""
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+from PIL import Image
+
+from . import utils
+from .utils import images as im
+
+logger = logging.getLogger('cli')
+
+ROOT_DIR = Path(__file__).resolve().parents[1]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument('content', help='content image path')
+    p.add_argument('style', help='style image path')
+    p.add_argument('--output', '-o', default='out.png', help='output image path')
+    p.add_argument('--size', type=int, default=512,
+                   help='output size (largest dimension)')
+    p.add_argument('--style-size', type=int, default=None,
+                   help='style image size (defaults to --size)')
+    p.add_argument('--iterations', '-i', type=int, default=200,
+                   help='iterations (per scale when --multi-scale)')
+    p.add_argument('--optimizer', choices=('adam', 'lbfgs'), default='lbfgs')
+    p.add_argument('--step-size', type=float, default=None,
+                   help='optimizer step size (defaults: adam 10, lbfgs 1)')
+    p.add_argument('--weights', default=None,
+                   help='loss-weights YAML (initial_weights.yaml format)')
+    p.add_argument('--model-weights', default='auto',
+                   help="VGG-19 weights: 'auto', 'random', or a path "
+                        '(.npz / .caffemodel)')
+    p.add_argument('--multi-scale', action='store_true',
+                   help='coarse-to-fine: optimize up the sqrt(2) size ladder '
+                        'with warm-started optimizer state')
+    p.add_argument('--min-scale', type=int, default=96,
+                   help='smallest rung of the multi-scale ladder')
+    p.add_argument('--init', choices=('random', 'content'), default='random',
+                   help='initial iterate')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--precision', choices=('float32', 'bfloat16'),
+                   default='float32')
+    p.add_argument('--platform', default='',
+                   help="override the JAX platform (e.g. 'cpu')")
+    p.add_argument('--mesh', default='',
+                   help="spatial sharding mesh for high-res (e.g. '4' or "
+                        "'auto'); empty = single device")
+    p.add_argument('--steps-per-dispatch', type=int, default=25,
+                   help='iterations fused per device dispatch')
+    p.add_argument('--trace-csv', default=None, help='write the trace here')
+    p.add_argument('--checkpoint', default=None,
+                   help='save a resumable checkpoint directory at the end')
+    p.add_argument('--resume', default=None,
+                   help='resume from a checkpoint directory')
+    p.add_argument('--save-every', type=int, default=0,
+                   help='write the in-progress image every N iterations')
+    p.add_argument('--pallas', action='store_true',
+                   help='use the fused Pallas style kernel (TPU)')
+    p.add_argument('--profile', default=None,
+                   help='capture a jax.profiler trace into this directory')
+    p.add_argument('--debug', '-d', action='count', default=0)
+    return p.parse_args(argv)
+
+
+def load_weights_doc(path):
+    if path is None:
+        path = ROOT_DIR / 'initial_weights.yaml'
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return doc[0], doc[1]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    utils.setup_logging(args.debug)
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      str(ROOT_DIR / '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from .engine import StyleTransfer
+    from .engine.checkpoint import load_checkpoint, save_checkpoint
+    from .models.weights import resolve_params
+
+    logger.info('devices: %s', jax.devices())
+
+    placement = None
+    if args.mesh:
+        from .parallel import SpatialPlacement, make_mesh
+        mesh = make_mesh(args.mesh, axis_names=('space',))
+        placement = SpatialPlacement(mesh, axis='space')
+        logger.info('spatial sharding over %d devices', mesh.devices.size)
+
+    params = resolve_params(args.model_weights, ROOT_DIR)
+    weights, scalar_params = load_weights_doc(args.weights)
+
+    st = StyleTransfer(params, precision=args.precision, placement=placement,
+                       use_pallas=args.pallas)
+    st.set_weights(weights, scalar_params)
+    st.set_optimizer(args.optimizer)
+    st.set_step_size(args.step_size if args.step_size is not None
+                     else {'adam': 10.0, 'lbfgs': 1.0}[args.optimizer])
+
+    content_pil = Image.open(args.content).convert('RGB')
+    style_pil = Image.open(args.style).convert('RGB')
+    style_size = args.style_size or args.size
+    st.set_style(np.uint8(im.resize_to_fit(style_pil, style_size)))
+
+    rng = np.random.RandomState(args.seed)
+
+    target_wh = im.fit_into_square(content_pil.size, args.size, scale_up=True)
+    target_hw = (target_wh[1], target_wh[0])
+    if args.multi_scale:
+        ladder = im.scales(target_hw, min_size=args.min_scale)
+    else:
+        ladder = [target_hw]
+
+    if args.resume:
+        load_checkpoint(st, args.resume)
+        logger.info('resumed from %s at iterate %d, %dx%d', args.resume,
+                    st.t, *st.input_hw)
+        # Continue the ladder from the restored resolution upward.
+        ladder = [hw for hw in ladder if hw > st.input_hw] or []
+
+    profile_ctx = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        profile_ctx = args.profile
+
+    total_t0 = time.perf_counter()
+    first = not args.resume
+    image = st.snapshot() if args.resume else None
+    for hw in ladder:
+        content = np.uint8(content_pil.resize((hw[1], hw[0]), Image.LANCZOS))
+        if first:
+            st.set_content(content)
+            if args.init == 'random':
+                init_img = rng.uniform(0, 255, hw + (3,)).astype(np.uint8)
+            else:
+                init_img = content
+            st.set_input(init_img)
+            first = False
+        else:
+            # Warm start: resample iterate + optimizer state up the ladder
+            # (the reference's resolution-change path, worker.py:154-160).
+            st.resample_input(hw)
+            st.set_content(content)
+        assert st.start(), 'engine failed to start (inconsistent state?)'
+
+        remaining = args.iterations
+        t0 = time.perf_counter()
+        while remaining > 0:
+            chunk = min(args.steps_per_dispatch, remaining)
+            if args.save_every:
+                chunk = min(chunk, args.save_every)
+            image, trace = st.run_steps(chunk, fetch_image=bool(args.save_every))
+            remaining -= chunk
+            if args.save_every and (st.t % args.save_every) < chunk:
+                im.as_pil(image).save(args.output)
+            logger.info('scale %dx%d iterate %d loss %.6g', hw[0], hw[1],
+                        st.t, trace['loss'])
+        dt = time.perf_counter() - t0
+        logger.info('scale %dx%d: %d iters in %.2fs (%.2f it/s)',
+                    hw[0], hw[1], args.iterations, dt, args.iterations / dt)
+
+    image = st.snapshot()
+    im.as_pil(image).save(args.output)
+    logger.info('wrote %s after %d iterations in %.1fs', args.output, st.t,
+                time.perf_counter() - total_t0)
+
+    if profile_ctx:
+        jax.profiler.stop_trace()
+        logger.info('profiler trace written to %s', profile_ctx)
+
+    if args.trace_csv:
+        st.write_trace(args.trace_csv)
+        logger.info('wrote %s', args.trace_csv)
+
+    if args.checkpoint:
+        save_checkpoint(st, args.checkpoint)
+        logger.info('checkpoint saved to %s', args.checkpoint)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -138,7 +138,7 @@ def empty_norms(spec):
     return vals, set_
 
 
-def make_objective(spec, precision, compute_dtype):
+def make_objective(spec, precision, compute_dtype, use_pallas=False):
     """Returns objective(params, x, content_feats, grams, layer_weights,
     scalars, norms_vals, norms_set) -> (loss, grad, (norms_vals', norms_set'),
     trace_tuple). Pure — safe to close over inside a larger jitted step."""
@@ -183,14 +183,20 @@ def make_objective(spec, precision, compute_dtype):
             if has_s:
                 sw = w[1]
                 _, mh, mw, n = feat.shape
-                gram_diff = gram_matrix(feat, precision) - grams[layer]
-                flat = feat.reshape(mh * mw, n)
-                # Reference half-gradient, NHWC form: feat @ gram_diff
-                # (gram_diff is symmetric), scaled by 2/(c^2 * c*h*w).
-                s_grad = jnp.dot(flat, gram_diff, precision=precision,
-                                 preferred_element_type=jnp.float32)
-                s_grad = s_grad.reshape(1, mh, mw, n)
-                s_grad = s_grad * (2.0 / (jnp.float32(n * n) * size))
+                if use_pallas:
+                    # Fused Pallas kernel: Gram accumulation + G_diff +
+                    # gradient matmul in one pass (ops/pallas).
+                    from ..ops.pallas import fused_style_branch
+                    s_grad, gram_diff = fused_style_branch(feat, grams[layer])
+                else:
+                    gram_diff = gram_matrix(feat, precision) - grams[layer]
+                    flat = feat.reshape(mh * mw, n)
+                    # Reference half-gradient, NHWC form: feat @ gram_diff
+                    # (gram_diff is symmetric), scaled by 2/(c^2 * c*h*w).
+                    s_grad = jnp.dot(flat, gram_diff, precision=precision,
+                                     preferred_element_type=jnp.float32)
+                    s_grad = s_grad.reshape(1, mh, mw, n)
+                    s_grad = s_grad * (2.0 / (jnp.float32(n * n) * size))
                 sn = norm_of(layer + ':s', _rms(s_grad))
                 s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
                 trace.append(s_loss)

@@ -41,7 +41,8 @@ def precision_config(name):
 
 @functools.lru_cache(maxsize=64)
 def build_step_core(spec, optimizer, precision='float32',
-                    b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT):
+                    b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
+                    use_pallas=False):
     """Returns (step_core, eval_core) — pure, un-jitted.
 
     Signatures (all pytree args):
@@ -51,7 +52,8 @@ def build_step_core(spec, optimizer, precision='float32',
     scalars=..., norms_vals=..., norms_set=...). eval_core is None for Adam.
     """
     lax_precision, compute_dtype = precision_config(precision)
-    objective = make_objective(spec, lax_precision, compute_dtype)
+    objective = make_objective(spec, lax_precision, compute_dtype,
+                               use_pallas)
 
     def make_opfunc(params, inputs):
         def opfunc(x):
@@ -90,10 +92,12 @@ def build_step_core(spec, optimizer, precision='float32',
 
 @functools.lru_cache(maxsize=64)
 def build_step_fns(spec, optimizer, precision='float32',
-                   b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT):
+                   b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
+                   use_pallas=False):
     """The jitted (step_fn, eval_fn) pair for interactive single-stepping.
     The optimizer state is donated — its buffers are reused in place."""
-    step_core, eval_core = build_step_core(spec, optimizer, precision, b1, b2)
+    step_core, eval_core = build_step_core(spec, optimizer, precision, b1,
+                                           b2, use_pallas)
     step_fn = jax.jit(step_core, donate_argnums=(1,))
     eval_fn = None if eval_core is None else jax.jit(eval_core,
                                                      donate_argnums=(1,))
@@ -102,7 +106,8 @@ def build_step_fns(spec, optimizer, precision='float32',
 
 @functools.lru_cache(maxsize=64)
 def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
-                  b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT):
+                  b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
+                  use_pallas=False):
     """K optimizer steps fused into one dispatch via lax.scan.
 
     scan_fn(params, state, inputs, step_size) -> (state', norms', traces)
@@ -110,7 +115,8 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
     norm state threads through the scan, so first-eval caching behaves
     identically to K separate steps.
     """
-    step_core, _ = build_step_core(spec, optimizer, precision, b1, b2)
+    step_core, _ = build_step_core(spec, optimizer, precision, b1, b2,
+                                   use_pallas)
 
     def scan_fn(params, state, inputs, step_size):
         def body(carry, _):

@@ -37,14 +37,18 @@ class StyleTransfer:
     """Performs image stylization by minimizing the fused objective with an
     optimizer pytree. API parity with reference worker.py:117-315."""
 
-    def __init__(self, params, precision='float32', n_corr=10, placement=None):
+    def __init__(self, params, precision='float32', n_corr=10, placement=None,
+                 use_pallas=False):
         """placement: optional parallel.SpatialPlacement — shards the image
         axis of every array over a device mesh for high-res jobs; the same
-        jitted step then runs SPMD with XLA-inserted halo exchanges."""
+        jitted step then runs SPMD with XLA-inserted halo exchanges.
+        use_pallas: route the style branch through the fused Pallas kernel
+        (TPU only; incompatible with spatial placement)."""
         self.params = params
         self.precision = precision
         self.n_corr = n_corr
         self.placement = placement
+        self.use_pallas = use_pallas and placement is None
         if placement is not None:
             self.params = placement.replicated(params)
         lax_precision, compute_dtype = precision_config(precision)
@@ -297,7 +301,8 @@ class StyleTransfer:
         self.t += 1
         spec = self.spec()
         step_fn, eval_fn = build_step_fns(spec, self.optimizer_name,
-                                          self.precision)
+                                          self.precision,
+                                          use_pallas=self.use_pallas)
         self._prime_if_needed(spec, eval_fn)
 
         inputs = self._gather_inputs(spec)
@@ -316,11 +321,12 @@ class StyleTransfer:
         instead so changes apply within one iteration). Appends one trace
         per iteration; returns (image-or-None, last trace dict)."""
         spec = self.spec()
-        _, eval_fn = build_step_fns(spec, self.optimizer_name, self.precision)
+        _, eval_fn = build_step_fns(spec, self.optimizer_name, self.precision,
+                                    use_pallas=self.use_pallas)
         self._prime_if_needed(spec, eval_fn)
 
         scan_fn = build_scan_fn(spec, self.optimizer_name, self.precision,
-                                n_steps)
+                                n_steps, use_pallas=self.use_pallas)
         inputs = self._gather_inputs(spec)
         self.opt_state, norms, traces = scan_fn(
             self.params, self.opt_state, inputs, self._step_size_device())

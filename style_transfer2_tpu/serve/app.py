@@ -430,9 +430,10 @@ async def monitor_worker(app):
                 backoff = 0.1
             app['running'] = False
             app['worker_ready'] = False
-            app['driver'] = Driver(app['model_params'],
-                                   precision=app['config'].get('precision',
-                                                               'float32'))
+            app['driver'] = Driver(
+                app['model_params'],
+                precision=app['config'].get('precision', 'float32'),
+                use_pallas=app['config'].getboolean('pallas', False))
             app['driver_task'] = asyncio.ensure_future(app['driver'].run())
             app['pm_task'].cancel()
             app['pm_task'] = asyncio.ensure_future(process_messages(app))
@@ -458,8 +459,10 @@ async def startup_tasks(app):
 
     app['model_params'] = resolve_params(app['config'].get('weights', 'auto'),
                                          ROOT_DIR)
-    app['driver'] = Driver(app['model_params'],
-                           precision=app['config'].get('precision', 'float32'))
+    app['driver'] = Driver(
+        app['model_params'],
+        precision=app['config'].get('precision', 'float32'),
+        use_pallas=app['config'].getboolean('pallas', False))
     app['driver_task'] = asyncio.ensure_future(app['driver'].run())
     app['pm_task'] = asyncio.ensure_future(process_messages(app))
 

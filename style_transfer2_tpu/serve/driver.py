@@ -28,11 +28,12 @@ class Driver:
     a pair of asyncio queues."""
 
     def __init__(self, params, precision='float32', placement=None,
-                 loop=None):
+                 loop=None, use_pallas=False):
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.transfer = StyleTransfer(params, precision=precision,
-                                      placement=placement)
+                                      placement=placement,
+                                      use_pallas=use_pallas)
         self.loop = loop or asyncio.get_event_loop()
         # One thread owns all device calls; queue depth 1 keeps ordering.
         self.executor = concurrent.futures.ThreadPoolExecutor(

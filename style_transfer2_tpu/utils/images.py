@@ -14,6 +14,8 @@ from PIL import Image
 
 try:
     from ..native import resample as _native_resample
+    if not _native_resample.available():
+        _native_resample = None
 except Exception:  # pragma: no cover - native library not built
     _native_resample = None
 

@@ -1,0 +1,111 @@
+"""CLI + checkpoint tests: single-scale and multi-scale runs end-to-end on
+CPU at tiny sizes, trace CSV output, checkpoint save/resume round-trip."""
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from style_transfer2_tpu.cli import main as cli_main
+
+
+def _write_images(tmp_path):
+    rng = np.random.RandomState(0)
+    content = tmp_path / 'content.png'
+    style = tmp_path / 'style.png'
+    Image.fromarray(rng.randint(0, 256, (40, 52, 3)).astype(np.uint8)).save(content)
+    Image.fromarray(rng.randint(0, 256, (44, 44, 3)).astype(np.uint8)).save(style)
+    return str(content), str(style)
+
+
+def test_cli_single_scale(tmp_path):
+    content, style = _write_images(tmp_path)
+    out = tmp_path / 'out.png'
+    trace_csv = tmp_path / 'trace.csv'
+    rc = cli_main([content, style, '-o', str(out), '--size', '32',
+                   '--iterations', '6', '--optimizer', 'adam',
+                   '--model-weights', 'random', '--platform', 'cpu',
+                   '--steps-per-dispatch', '3',
+                   '--trace-csv', str(trace_csv)])
+    assert rc == 0
+    img = Image.open(out)
+    assert max(img.size) == 32
+
+    df = pd.read_csv(trace_csv)
+    assert len(df) == 6
+    assert 'loss' in df.columns and 'fevals' in df.columns
+    assert np.isfinite(df['loss']).all()
+    assert df['fevals'].iloc[-1] == 6
+
+
+def test_cli_multi_scale_and_resume(tmp_path):
+    content, style = _write_images(tmp_path)
+    out = tmp_path / 'out.png'
+    ckpt = tmp_path / 'ckpt'
+    rc = cli_main([content, style, '-o', str(out), '--size', '36',
+                   '--iterations', '3', '--optimizer', 'lbfgs',
+                   '--model-weights', 'random', '--platform', 'cpu',
+                   '--multi-scale', '--min-scale', '18',
+                   '--steps-per-dispatch', '2',
+                   '--checkpoint', str(ckpt)])
+    assert rc == 0
+    assert max(Image.open(out).size) == 36
+    assert (ckpt / 'meta.json').exists()
+
+    # Resume from the checkpoint: continues at the final scale.
+    out2 = tmp_path / 'out2.png'
+    rc = cli_main([content, style, '-o', str(out2), '--size', '36',
+                   '--iterations', '2', '--optimizer', 'lbfgs',
+                   '--model-weights', 'random', '--platform', 'cpu',
+                   '--multi-scale', '--min-scale', '18',
+                   '--resume', str(ckpt)])
+    assert rc == 0
+    assert max(Image.open(out2).size) == 36
+
+
+def test_checkpoint_roundtrip_preserves_state(tmp_path):
+    from style_transfer2_tpu.engine import StyleTransfer
+    from style_transfer2_tpu.engine.checkpoint import (load_checkpoint,
+                                                       save_checkpoint)
+    from style_transfer2_tpu.models import random_params
+
+    weights = {'content': {'conv2_2': 0.1},
+               'style': {'conv1_1': 1.0, 'conv2_1': 1.0}, 'deepdream': {}}
+    scalars = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+            for _ in range(3)]
+
+    def fresh():
+        st = StyleTransfer(random_params(1))
+        st.set_weights(weights, scalars)
+        st.set_optimizer('lbfgs')
+        st.set_step_size(1.0)
+        st.set_content(imgs[0])
+        st.set_style(imgs[1])
+        st.set_input(imgs[2])
+        assert st.start()
+        return st
+
+    a = fresh()
+    for _ in range(3):
+        a.step()
+    save_checkpoint(a, tmp_path / 'ck')
+
+    b = StyleTransfer(random_params(1))
+    load_checkpoint(b, tmp_path / 'ck')
+    b.is_starting = True
+    b._start()
+    assert b.t == 3
+    assert b.optimizer_name == 'lbfgs'
+    assert int(b.opt_state['count']) == int(a.opt_state['count'])
+    np.testing.assert_allclose(np.asarray(b.input), np.asarray(a.input))
+
+    # Continue both; they must track exactly (same norms, same history).
+    img_a, trace_a = a.step()
+    img_b, trace_b = b.step()
+    for key in trace_a:
+        if key in ('time',):
+            continue
+        np.testing.assert_allclose(trace_a[key], trace_b[key],
+                                   rtol=1e-5, err_msg=key)
+    np.testing.assert_allclose(img_a, img_b, rtol=1e-5, atol=1e-4)
