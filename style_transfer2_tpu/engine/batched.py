@@ -1,0 +1,237 @@
+"""Batched multi-session engine: N independent style-transfer jobs as lanes
+of ONE vmapped, jitted step (BASELINE.json config 3).
+
+Where the reference serves N users with N OS-process pairs behind the router
+(router.py:73-83), this engine packs jobs of one (resolution, objective
+structure, optimizer) bucket into stacked pytrees with a leading lane axis
+and steps them all with a single device dispatch — batched convs fill the
+MXU, and the lane axis can shard over a mesh 'data' axis
+(parallel/batch.DataPlacement). Per-lane state: iterate, optimizer pytree,
+content features, style Grams, loss-weight VALUES, tv/p scalars, step size,
+first-eval norms, and iterate counters.
+
+Inactive lanes carry zeros and are skipped in the results; they still
+consume compute (the batch exists to fill the chip — occupancy is the
+serving tier's job).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import vgg19
+from ..ops.gram import gram_matrix
+from ..optim import OPTIMIZERS, STEP_SIZES
+from ..parallel.batch import build_batched_step_fns
+from ..utils.tracing import Trace
+from .objective import (
+    ObjectiveSpec,
+    scalars_to_arrays,
+    weights_to_arrays,
+)
+from .steps import precision_config
+
+
+def _lane_set(tree, lane, value_tree):
+    """Writes a per-lane sub-pytree into a stacked pytree at index lane."""
+    return jax.tree_util.tree_map(
+        lambda buf, val: buf.at[lane].set(val), tree, value_tree)
+
+
+class BatchedStyleTransfer:
+    """Up to max_lanes concurrent jobs sharing (hw, spec, optimizer)."""
+
+    def __init__(self, params, weights, scalar_params, hw, max_lanes,
+                 optimizer='adam', precision='float32', n_corr=10,
+                 placement=None):
+        self.params = params
+        self.spec = ObjectiveSpec.from_weights(weights, scalar_params)
+        self.default_weights = weights
+        self.default_scalars = scalar_params
+        self.hw = tuple(int(s) for s in hw)
+        self.max_lanes = int(max_lanes)
+        self.optimizer_name = optimizer
+        self.precision = precision
+        self.n_corr = n_corr
+        self.placement = placement
+
+        lax_precision, compute_dtype = precision_config(precision)
+        self.model = vgg19.VGG19Features(params, lax_precision, compute_dtype)
+
+        self.active = [False] * self.max_lanes
+        self.t = [0] * self.max_lanes
+        self._needs_init = False  # L-BFGS priming pending (any lane changed)
+
+        zero_img = jnp.zeros((1,) + self.hw + (3,), jnp.float32)
+        mod = OPTIMIZERS[optimizer]
+        lane_state = (mod.init(zero_img, n_corr) if optimizer == 'lbfgs'
+                      else mod.init(zero_img))
+        feats = self.model.forward(zero_img)
+        lane_inputs = {
+            'content_feats': {l: jnp.zeros_like(feats[l])
+                              for l in self.spec.content_layers},
+            'grams': {l: jnp.zeros((feats[l].shape[-1],) * 2, jnp.float32)
+                      for l in self.spec.style_layers},
+            'layer_weights': {l: jnp.asarray(v) for l, v in
+                              weights_to_arrays(weights, self.spec).items()},
+            'scalars': {k: jnp.asarray(v) for k, v in
+                        scalars_to_arrays(scalar_params).items()},
+            'norms_vals': {k: jnp.float32(0.0) for k in self.spec.norm_keys},
+            'norms_set': {k: jnp.bool_(False) for k in self.spec.norm_keys},
+        }
+        stack = lambda tree: jax.tree_util.tree_map(
+            lambda leaf: jnp.stack([leaf] * self.max_lanes), tree)
+        self.states = stack(lane_state)
+        self.inputs = stack(lane_inputs)
+        self.step_sizes = jnp.full((self.max_lanes,),
+                                   STEP_SIZES[optimizer], jnp.float32)
+        if placement is not None:
+            self._replace(placement.place(self.states),
+                          placement.place(self.inputs))
+            self.step_sizes = placement.place(self.step_sizes)
+
+    def _replace(self, states=None, inputs=None):
+        if states is not None:
+            self.states = states
+        if inputs is not None:
+            self.inputs = inputs
+
+    def _place(self, tree):
+        return tree if self.placement is None else self.placement.place(tree)
+
+    # -- lane lifecycle -------------------------------------------------------
+
+    def free_lane(self):
+        """Index of a free lane, or None when the bucket is full."""
+        for i, busy in enumerate(self.active):
+            if not busy:
+                return i
+        return None
+
+    def add_job(self, content, style, input_image, weights=None,
+                scalar_params=None, step_size=None, lane=None):
+        """Adds a job; returns its lane id. Images are HxWx3 RGB arrays at
+        this bucket's resolution."""
+        if lane is None:
+            lane = self.free_lane()
+        if lane is None:
+            raise RuntimeError('no free lane (bucket of %d full)'
+                               % self.max_lanes)
+        weights = weights if weights is not None else self.default_weights
+        scalar_params = (scalar_params if scalar_params is not None
+                         else self.default_scalars)
+        spec_check = ObjectiveSpec.from_weights(weights, scalar_params)
+        if spec_check != self.spec:
+            raise ValueError('job objective structure does not match this '
+                             'bucket (got %r, bucket %r)'
+                             % (spec_check, self.spec))
+
+        content_x = vgg19.preprocess(content)
+        style_x = vgg19.preprocess(style)
+        input_x = vgg19.preprocess(input_image)
+        if content_x.shape[1:3] != self.hw or input_x.shape[1:3] != self.hw:
+            raise ValueError('job resolution does not match bucket %s'
+                             % (self.hw,))
+
+        feats = self.model.forward(content_x)
+        style_feats = self.model.forward(style_x)
+        lane_inputs = {
+            'content_feats': {l: feats[l] for l in self.spec.content_layers},
+            'grams': {l: gram_matrix(style_feats[l])
+                      for l in self.spec.style_layers},
+            'layer_weights': {l: jnp.asarray(v) for l, v in
+                              weights_to_arrays(weights, self.spec).items()},
+            'scalars': {k: jnp.asarray(v) for k, v in
+                        scalars_to_arrays(scalar_params).items()},
+            'norms_vals': {k: jnp.float32(0.0) for k in self.spec.norm_keys},
+            'norms_set': {k: jnp.bool_(False) for k in self.spec.norm_keys},
+        }
+        mod = OPTIMIZERS[self.optimizer_name]
+        lane_state = (mod.init(input_x, self.n_corr)
+                      if self.optimizer_name == 'lbfgs'
+                      else mod.init(input_x))
+
+        self.inputs = self._place(_lane_set(self.inputs, lane, lane_inputs))
+        self.states = self._place(_lane_set(self.states, lane, lane_state))
+        if step_size is None:
+            step_size = STEP_SIZES[self.optimizer_name]
+        self.step_sizes = self._place(
+            self.step_sizes.at[lane].set(float(step_size)))
+        self.active[lane] = True
+        self.t[lane] = 0
+        if self.optimizer_name == 'lbfgs':
+            self._needs_init = True
+        return lane
+
+    def remove_job(self, lane):
+        self.active[lane] = False
+        self.t[lane] = 0
+
+    def set_step_size(self, lane, step_size):
+        self.step_sizes = self._place(
+            self.step_sizes.at[lane].set(float(step_size)))
+
+    def set_lane_weights(self, lane, weights, scalar_params):
+        """Updates one lane's weight VALUES (structure must match the
+        bucket); clears transient optimizer state like the reference's
+        objective_changed."""
+        spec_check = ObjectiveSpec.from_weights(weights, scalar_params)
+        if spec_check != self.spec:
+            raise ValueError('weight structure does not match this bucket')
+        lw = {l: jnp.asarray(v) for l, v in
+              weights_to_arrays(weights, self.spec).items()}
+        sc = {k: jnp.asarray(v) for k, v in
+              scalars_to_arrays(scalar_params).items()}
+        new_inputs = dict(self.inputs)
+        new_inputs['layer_weights'] = _lane_set(
+            self.inputs['layer_weights'], lane, lw)
+        new_inputs['scalars'] = _lane_set(self.inputs['scalars'], lane, sc)
+        self.inputs = self._place(new_inputs)
+        self._lane_objective_changed(lane)
+
+    def _lane_objective_changed(self, lane):
+        mod = OPTIMIZERS[self.optimizer_name]
+        lane_state = jax.tree_util.tree_map(lambda buf: buf[lane], self.states)
+        lane_state = mod.objective_changed(lane_state)
+        self.states = self._place(_lane_set(self.states, lane, lane_state))
+        if self.optimizer_name == 'lbfgs':
+            self._needs_init = True
+
+    # -- stepping -------------------------------------------------------------
+
+    def step_all(self):
+        """One optimizer step for every lane (one device dispatch). Returns
+        {lane: trace dict} for active lanes."""
+        step_fn, eval_fn = build_batched_step_fns(
+            self.spec, self.optimizer_name, self.precision)
+        if self._needs_init and eval_fn is not None:
+            self.states, norms, _ = eval_fn(self.params, self.states,
+                                            self.inputs)
+            inputs = dict(self.inputs)
+            inputs['norms_vals'], inputs['norms_set'] = norms
+            self.inputs = inputs
+            self._needs_init = False
+
+        self.states, norms, traces = step_fn(
+            self.params, self.states, self.inputs, self.step_sizes)
+        inputs = dict(self.inputs)
+        inputs['norms_vals'], inputs['norms_set'] = norms
+        self.inputs = inputs
+
+        columns = [np.asarray(c) for c in jax.device_get(traces)]
+        out = {}
+        for lane, busy in enumerate(self.active):
+            if not busy:
+                continue
+            self.t[lane] += 1
+            trace = Trace()
+            for key, col in zip(self.spec.trace_keys, columns):
+                trace(key, float(col[lane]))
+            trace('fevals', self.t[lane])
+            out[lane] = trace.data
+        return out
+
+    def lane_image(self, lane):
+        """Fetches one lane's deprocessed iterate (HxWx3 float32 RGB)."""
+        x = jax.tree_util.tree_map(lambda buf: buf[lane], self.states)['x']
+        return np.asarray(vgg19.deprocess(x))

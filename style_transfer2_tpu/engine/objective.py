@@ -51,6 +51,9 @@ class ObjectiveSpec:
     branches: tuple  # ((layer_name, has_content, has_style, has_dream), ...)
     tv_power: float = 2.0
     p_power: float = 2.0
+    # Temporal-consistency loss toward a previous stylized frame (video
+    # mode; not part of the reference objective).
+    temporal: bool = False
 
     @classmethod
     def from_weights(cls, weights, params):
@@ -65,9 +68,11 @@ class ObjectiveSpec:
                 has.append(w is not None and abs(float(w)) > WEIGHT_EPS)
             if any(has):
                 branches.append((layer, has[0], has[1], has[2]))
+        temporal = abs(float(params.get('temporal', 0.0) or 0.0)) > WEIGHT_EPS
         return cls(branches=tuple(branches),
                    tv_power=float(params.get('tv_power', 2.0)),
-                   p_power=float(params.get('p_power', 2.0)))
+                   p_power=float(params.get('p_power', 2.0)),
+                   temporal=temporal)
 
     @property
     def layers(self):
@@ -106,8 +111,13 @@ class ObjectiveSpec:
                 keys += ['%s_s_loss' % layer, '%s_s_grad' % layer]
             if has_d:
                 keys += ['%s_d_loss' % layer, '%s_d_grad' % layer]
-        keys += ['scd_loss', 't_loss', 'p_loss',
-                 'scd_grad', 't_grad', 'p_grad', 'loss', 'grad']
+        keys += ['scd_loss', 't_loss', 'p_loss']
+        if self.temporal:
+            keys += ['temporal_loss']
+        keys += ['scd_grad', 't_grad', 'p_grad']
+        if self.temporal:
+            keys += ['temporal_grad']
+        keys += ['loss', 'grad']
         return tuple(keys)
 
 
@@ -126,9 +136,13 @@ def weights_to_arrays(weights, spec):
 
 
 def scalars_to_arrays(params):
-    """tv/p scalar weights as float32 scalars (powers live in the spec)."""
-    return {'tv': np.float32(params.get('tv', 1.0)),
-            'p': np.float32(params.get('p', 1.0))}
+    """tv/p (and optional temporal) scalar weights as float32 scalars
+    (powers live in the spec)."""
+    out = {'tv': np.float32(params.get('tv', 1.0)),
+           'p': np.float32(params.get('p', 1.0))}
+    if params.get('temporal'):
+        out['temporal'] = np.float32(params['temporal'])
+    return out
 
 
 def empty_norms(spec):
@@ -144,7 +158,7 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False):
     trace_tuple). Pure — safe to close over inside a larger jitted step."""
 
     def objective(params, x, content_feats, grams, layer_weights, scalars,
-                  norms_vals, norms_set):
+                  norms_vals, norms_set, temporal_target=None):
         model = vgg19.VGG19Features(params, precision, compute_dtype)
         feats, vjp = model.features_and_vjp(x, spec.layers)
 
@@ -231,6 +245,16 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False):
         trace.append(pl)
         loss = loss + pl
 
+        if spec.temporal:
+            # Video temporal consistency: true gradient of
+            # tw * mean(((x - prev)/255)^2) w.r.t. x.
+            t_diff = (x - temporal_target) / jnp.float32(255.0)
+            tmp_loss = scalars['temporal'] * jnp.mean(jnp.square(t_diff))
+            trace.append(tmp_loss)
+            loss = loss + tmp_loss
+            tmp_grad = scalars['temporal'] * (2.0 / (jnp.float32(x.size)
+                                                     * 255.0)) * t_diff
+
         grad = vjp(diffs)
         trace.append(_rms(grad))  # scd_grad
         tv_term = scalars['tv'] * tv_grad
@@ -239,6 +263,10 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False):
         p_term = scalars['p'] * p_grad
         trace.append(_rms(p_term))  # p_grad
         grad = grad + p_term
+
+        if spec.temporal:
+            trace.append(_rms(tmp_grad))  # temporal_grad
+            grad = grad + tmp_grad
 
         trace.append(loss)        # loss
         trace.append(_rms(grad))  # grad

@@ -61,7 +61,8 @@ def build_step_core(spec, optimizer, precision='float32',
                 params, x,
                 inputs['content_feats'], inputs['grams'],
                 inputs['layer_weights'], inputs['scalars'],
-                inputs['norms_vals'], inputs['norms_set'])
+                inputs['norms_vals'], inputs['norms_set'],
+                inputs.get('temporal_target'))
             return loss, grad, (norms, trace)
         return opfunc
 

@@ -69,6 +69,8 @@ class StyleTransfer:
                         for name in LOSS_NAMES}
         self.scalar_params = {name: 1.0 for name in SCALAR_LOSS_NAMES}
 
+        self.temporal_target = None  # (1, H, W, 3) prev frame (video mode)
+
         self.optimizer_name = 'lbfgs'
         self.step_size = STEP_SIZES['lbfgs']
         self.opt_state = None
@@ -236,9 +238,26 @@ class StyleTransfer:
 
     def set_weights(self, weights, params):
         self.weights = {name: dict(weights.get(name, {})) for name in LOSS_NAMES}
+        temporal = self.scalar_params.get('temporal')
         self.scalar_params = dict(params)
+        if temporal and 'temporal' not in self.scalar_params:
+            self.scalar_params['temporal'] = temporal
         self._weights_cache = None
         self.objective_changed()
+
+    def set_temporal(self, image, weight):
+        """Enables the video temporal-consistency loss toward a previous
+        stylized frame (HxWx3 RGB). Changes the objective."""
+        self.temporal_target = self._place_image(vgg19.preprocess(image))
+        self.scalar_params['temporal'] = float(weight)
+        self._weights_cache = None
+        self.objective_changed()
+
+    def clear_temporal(self):
+        if self.scalar_params.pop('temporal', None) is not None:
+            self._weights_cache = None
+            self.objective_changed()
+        self.temporal_target = None
 
     # -- stepping -------------------------------------------------------------
 
@@ -256,7 +275,7 @@ class StyleTransfer:
             if key in self.norm_vals:
                 norms_vals[key] = self.norm_vals[key]
                 norms_set[key] = self.norm_set[key]
-        return {
+        inputs = {
             'content_feats': {l: self.features[l] for l in spec.content_layers},
             'grams': {l: self.grams[l] for l in spec.style_layers},
             'layer_weights': layer_weights,
@@ -264,6 +283,13 @@ class StyleTransfer:
             'norms_vals': norms_vals,
             'norms_set': norms_set,
         }
+        if spec.temporal:
+            if (self.temporal_target is None
+                    or self.temporal_target.shape != self._input.shape):
+                raise ValueError('temporal loss enabled but no matching '
+                                 'temporal target set (set_temporal)')
+            inputs['temporal_target'] = self.temporal_target
+        return inputs
 
     def _step_size_device(self):
         if self._step_size_dev is None:
