@@ -12,8 +12,21 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 
+import logging
+
+logger = logging.getLogger(__name__)
+
+
 class Message:
-    """Base class for driver/app messages."""
+    """Base class for driver/app messages. Set Message.debug = True (done at
+    debug level >= 2, like the reference messages.py:27-35 / utils.py:183)
+    to log every message creation."""
+
+    debug = False
+
+    def __post_init__(self):
+        if Message.debug:
+            logger.debug('%s created: %r', type(self).__name__, self)
 
     def __repr__(self):
         def short(v):
@@ -95,6 +108,7 @@ class SetOptimizer(Message):
             raise ValueError('Invalid optimizer type')
         if not self.step_size:
             self.step_size = self.step_sizes[self.optimizer]
+        super().__post_init__()
 
 
 @dataclass(repr=False)

@@ -23,6 +23,9 @@ def setup_logging(debug=0):
     logging.basicConfig(level=level, format=fmt, datefmt=datefmt)
     if debug <= 1:
         logging.getLogger('aiohttp.access').setLevel(logging.WARNING)
+    else:
+        from ..serve import messages
+        messages.Message.debug = True
     logging.captureWarnings(True)
 
 
