@@ -22,7 +22,7 @@ import numpy as np
 from ..models import vgg19
 from ..ops.gram import gram_matrix
 from ..optim import OPTIMIZERS, STEP_SIZES
-from ..parallel.batch import build_batched_step_fns
+from ..parallel.batch import build_masked_batched_step_fns
 from ..utils.tracing import Trace
 from .objective import (
     ObjectiveSpec,
@@ -59,6 +59,7 @@ class BatchedStyleTransfer:
         self.model = vgg19.VGG19Features(params, lax_precision, compute_dtype)
 
         self.active = [False] * self.max_lanes
+        self.running = [False] * self.max_lanes
         self.t = [0] * self.max_lanes
         self._needs_init = False  # L-BFGS priming pending (any lane changed)
 
@@ -158,6 +159,7 @@ class BatchedStyleTransfer:
         self.step_sizes = self._place(
             self.step_sizes.at[lane].set(float(step_size)))
         self.active[lane] = True
+        self.running[lane] = True
         self.t[lane] = 0
         if self.optimizer_name == 'lbfgs':
             self._needs_init = True
@@ -165,7 +167,21 @@ class BatchedStyleTransfer:
 
     def remove_job(self, lane):
         self.active[lane] = False
+        self.running[lane] = False
         self.t[lane] = 0
+
+    def set_running(self, lane, running):
+        """Pauses/resumes one lane; paused lanes keep their optimizer state
+        and norms frozen (the batched step masks their writes)."""
+        self.running[lane] = bool(running)
+
+    def any_running(self):
+        return any(r and a for r, a in zip(self.running, self.active))
+
+    def _run_mask(self):
+        import jax.numpy as jnp
+        return jnp.asarray([bool(r and a) for r, a in
+                            zip(self.running, self.active)])
 
     def set_step_size(self, lane, step_size):
         self.step_sizes = self._place(
@@ -200,20 +216,22 @@ class BatchedStyleTransfer:
     # -- stepping -------------------------------------------------------------
 
     def step_all(self):
-        """One optimizer step for every lane (one device dispatch). Returns
-        {lane: trace dict} for active lanes."""
-        step_fn, eval_fn = build_batched_step_fns(
+        """One optimizer step for every RUNNING lane (one device dispatch;
+        paused/inactive lanes' state is mask-frozen). Returns {lane: trace
+        dict} for running lanes."""
+        step_fn, eval_fn = build_masked_batched_step_fns(
             self.spec, self.optimizer_name, self.precision)
+        mask = self._run_mask()
         if self._needs_init and eval_fn is not None:
             self.states, norms, _ = eval_fn(self.params, self.states,
-                                            self.inputs)
+                                            self.inputs, mask)
             inputs = dict(self.inputs)
             inputs['norms_vals'], inputs['norms_set'] = norms
             self.inputs = inputs
             self._needs_init = False
 
         self.states, norms, traces = step_fn(
-            self.params, self.states, self.inputs, self.step_sizes)
+            self.params, self.states, self.inputs, self.step_sizes, mask)
         inputs = dict(self.inputs)
         inputs['norms_vals'], inputs['norms_set'] = norms
         self.inputs = inputs
@@ -221,7 +239,7 @@ class BatchedStyleTransfer:
         columns = [np.asarray(c) for c in jax.device_get(traces)]
         out = {}
         for lane, busy in enumerate(self.active):
-            if not busy:
+            if not busy or not self.running[lane]:
                 continue
             self.t[lane] += 1
             trace = Trace()

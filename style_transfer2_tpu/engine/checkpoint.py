@@ -74,7 +74,7 @@ def load_checkpoint(st, path):
     if 'opt_state' in arrays:
         st.opt_state = {k: arr(v) for k, v in arrays['opt_state'].items()}
         # Integer counters restore as arrays; keep dtypes tight.
-        for key in ('g1_items', 'g2_items', 't', 'count'):
+        for key in ('g1_items', 'g2_items', 't', 'count', 'pos'):
             if key in st.opt_state:
                 st.opt_state[key] = jnp.int32(st.opt_state[key])
     else:

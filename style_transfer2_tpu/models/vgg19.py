@@ -80,14 +80,16 @@ def deprocess(image):
 
 
 def _conv(x, w, b, precision):
-    """3x3 pad-1 convolution + bias, NHWC/HWIO."""
+    """3x3 pad-1 convolution + bias, NHWC/HWIO. Inputs and output share
+    x's dtype (uniform dtypes keep the conv vjp well-typed; the MXU still
+    accumulates float32 internally for bf16 inputs)."""
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     return y + b
 
@@ -138,20 +140,23 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
     if 'data' in wanted:
         feats['data'] = x
 
-    h = x
+    # In bf16 mode the trunk runs bf16 end-to-end (uniform dtypes keep the
+    # conv vjp well-typed); feature taps are returned as float32 so the loss
+    # math stays full precision.
+    h = x.astype(compute_dtype)
     for idx, name in enumerate(BLOB_NAMES[1:], start=1):
         if idx > deepest:
             break
         if name.startswith('conv'):
             p = params[name]
             w = p['w'].astype(compute_dtype)
-            b = p['b'].astype(jnp.float32)
-            h = _conv(h.astype(compute_dtype), w, b, precision)
+            b = p['b'].astype(compute_dtype)
+            h = _conv(h, w, b, precision)
             h = jnp.maximum(h, 0.0)  # in-place ReLU: the tap is post-ReLU
         else:  # pool
             h = _max_pool_ceil(h)
         if name in wanted:
-            feats[name] = h
+            feats[name] = h.astype(jnp.float32)
     return {name: feats[name] for name in layers}
 
 

@@ -3,8 +3,10 @@
 Reference semantics (optimizers.py:49-125) under XLA's static-shape rules:
 
   * the curvature history (up to n_corr=10 (s, y, s.y) pairs) lives in
-    stacked ring buffers in HBM with a valid-pair count — the reference's
-    Python lists become masked lax.scan two-loop recursion;
+    stacked CIRCULAR buffers in HBM — a write cursor (`pos`) plus a valid
+    count replace the reference's Python list append/pop, so storing a pair
+    writes ONE slice instead of rolling the whole history (the buffers are
+    n_corr x image-sized; rolls would move ~100 MB per step at 512px);
   * a candidate pair is rejected when s.y <= 1e-10 (optimizers.py:82-83);
   * with an empty history the direction is RMS-normalized:
     p /= sqrt(p.p / p.size) (optimizers.py:100-102); otherwise scaled by
@@ -13,8 +15,9 @@ Reference semantics (optimizers.py:49-125) under XLA's static-shape rules:
     (optimizers.py:121-125) — the next step must re-prime via initial_eval;
   * ``resample`` Lanczos-resamples x and clears state (optimizers.py:110-119).
 
-Buffer layout: pairs are stored oldest-to-newest in the LAST ``count`` slots;
-acceptance rolls the buffers left by one and writes at the end.
+Logical pair order (oldest -> newest) maps to physical slots
+(pos - count + j) mod n_corr; the two-loop recursion is a masked lax.scan
+over logical offsets with dynamic slot indexing.
 """
 
 import jax
@@ -42,6 +45,7 @@ def init(x, n_corr=N_CORR_DEFAULT):
         'yk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
         'syk': jnp.zeros((n_corr,), jnp.float32),
         'count': jnp.int32(0),
+        'pos': jnp.int32(0),  # next write slot (circular)
     }
 
 
@@ -56,60 +60,68 @@ def initial_eval(state, opfunc):
 
 
 def inv_hv(state, p):
-    """Two-loop recursion over the masked ring buffer (optimizers.py:89-108)."""
-    sk, yk, syk, count = state['sk'], state['yk'], state['syk'], state['count']
+    """Two-loop recursion over the masked circular buffer
+    (optimizers.py:89-108)."""
+    sk, yk, syk = state['sk'], state['yk'], state['syk']
+    count, pos = state['count'], state['pos']
     n_corr = sk.shape[0]
 
-    def loop1(p, i):
-        valid = i >= n_corr - count
-        s, y, sy = sk[i], yk[i], syk[i]
+    def loop1(p, k):
+        # k-th newest pair: physical slot (pos - 1 - k) mod n_corr.
+        valid = k < count
+        slot = jnp.mod(pos - 1 - k, n_corr)
+        s, y, sy = sk[slot], yk[slot], syk[slot]
         sy_safe = jnp.where(valid, sy, 1.0)
         alpha = jnp.where(valid, _vdot(s, p) / sy_safe, 0.0)
         return p - alpha * y, alpha
 
-    # Newest-to-oldest.
-    idx_desc = jnp.arange(n_corr - 1, -1, -1)
-    p, alphas = jax.lax.scan(loop1, p, idx_desc)
+    p, alphas = jax.lax.scan(loop1, p, jnp.arange(n_corr))
 
     # Initial Hessian scaling from the newest pair, or RMS normalization when
     # the history is empty (optimizers.py:97-102).
     has_history = count > 0
-    y_last, sy_last = yk[-1], syk[-1]
+    newest = jnp.mod(pos - 1, n_corr)
+    y_last, sy_last = yk[newest], syk[newest]
     yy = _vdot(y_last, y_last)
     scale_hist = sy_last / jnp.where(yy > 0, yy, 1.0)
     rms = jnp.sqrt(_vdot(p, p) / jnp.float32(p.size))
     scale_rms = 1.0 / jnp.where(rms > 0, rms, 1.0)
     p = p * jnp.where(has_history, scale_hist, scale_rms)
 
-    def loop2(p, inp):
-        i, alpha = inp
-        valid = i >= n_corr - count
-        s, y, sy = sk[i], yk[i], syk[i]
+    def loop2(p, j):
+        # j-th oldest pair: physical slot (pos - count + j) mod n_corr;
+        # its first-loop alpha sits at index count - 1 - j.
+        valid = j < count
+        slot = jnp.mod(pos - count + j, n_corr)
+        s, y, sy = sk[slot], yk[slot], syk[slot]
         sy_safe = jnp.where(valid, sy, 1.0)
         beta = _vdot(y, p) / sy_safe
+        alpha = alphas[jnp.maximum(count - 1 - j, 0)]
         return p + jnp.where(valid, alpha - beta, 0.0) * s, None
 
-    # Oldest-to-newest, alphas re-aligned (reference zips reversed(alphas)).
-    idx_asc = jnp.arange(n_corr)
-    p, _ = jax.lax.scan(loop2, p, (idx_asc, alphas[::-1]))
+    p, _ = jax.lax.scan(loop2, p, jnp.arange(n_corr))
     return p
 
 
 def store_curvature_pair(state, s, y):
-    """Rolls the ring buffer and appends (s, y, s.y) if s.y > 1e-10
-    (optimizers.py:79-87). Returns updated (sk, yk, syk, count)."""
+    """Appends (s, y, s.y) at the write cursor if s.y > 1e-10
+    (optimizers.py:79-87) — one slice write, no roll. Returns
+    (sk, yk, syk, count, pos)."""
     sy = _vdot(s, y)
     accept = sy > SY_MIN
     n_corr = state['sk'].shape[0]
-    sk = jnp.where(accept, jnp.roll(state['sk'], -1, axis=0).at[-1].set(s),
-                   state['sk'])
-    yk = jnp.where(accept, jnp.roll(state['yk'], -1, axis=0).at[-1].set(y),
-                   state['yk'])
-    syk = jnp.where(accept, jnp.roll(state['syk'], -1, axis=0).at[-1].set(sy),
-                    state['syk'])
+    pos = state['pos']
+    # On reject, rewrite the slot with its current contents (no-op write).
+    s_w = jnp.where(accept, s, state['sk'][pos])
+    y_w = jnp.where(accept, y, state['yk'][pos])
+    sy_w = jnp.where(accept, sy, state['syk'][pos])
+    sk = state['sk'].at[pos].set(s_w)
+    yk = state['yk'].at[pos].set(y_w)
+    syk = state['syk'].at[pos].set(sy_w)
     count = jnp.where(accept, jnp.minimum(state['count'] + 1, n_corr),
                       state['count'])
-    return sk, yk, syk, count
+    pos = jnp.where(accept, jnp.mod(pos + 1, n_corr), pos)
+    return sk, yk, syk, count, pos
 
 
 def step(state, opfunc, step_size):
@@ -121,7 +133,7 @@ def step(state, opfunc, step_size):
 
     loss, grad, aux = opfunc(x_new)
     y = grad - state['grad']
-    sk, yk, syk, count = store_curvature_pair(state, s, y)
+    sk, yk, syk, count, pos = store_curvature_pair(state, s, y)
 
     state_new = {
         'x': x_new,
@@ -131,6 +143,7 @@ def step(state, opfunc, step_size):
         'yk': yk,
         'syk': syk,
         'count': count,
+        'pos': pos,
     }
     return state_new, loss, aux
 

@@ -21,6 +21,7 @@ see serve/driver.py.
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..engine.steps import build_step_core
@@ -46,9 +47,50 @@ def build_batched_step_fns(spec, optimizer, precision='float32',
     return batched_step, batched_eval
 
 
+@functools.lru_cache(maxsize=64)
+def build_masked_batched_step_fns(spec, optimizer, precision='float32',
+                                  b1=_adam.B1_DEFAULT, b2=_adam.B2_DEFAULT):
+    """Like build_batched_step_fns, with a per-lane run mask: lanes whose
+    mask is False still compute (the batch is one program) but their
+    optimizer state and norm cache are left untouched — how the pooled
+    serving tier pauses individual sessions without losing momentum.
+
+      masked_step(params, states, inputs, step_sizes, mask)
+        -> (states', norms', traces)
+    """
+    step_core, eval_core = build_step_core(spec, optimizer, precision, b1, b2)
+
+    def masked_core(params, state, inputs, step_size, run):
+        state_new, (nv, ns), trace = step_core(params, state, inputs,
+                                               step_size)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(run, n, o), new, old)
+        state_out = keep(state_new, state)
+        norms_out = (keep(nv, inputs['norms_vals']),
+                     keep(ns, inputs['norms_set']))
+        return state_out, norms_out, trace
+
+    masked_step = jax.jit(
+        jax.vmap(masked_core, in_axes=(None, 0, 0, 0, 0)),
+        donate_argnums=(1,))
+
+    masked_eval = None
+    if eval_core is not None:
+        def masked_eval_core(params, state, inputs, run):
+            state_new, (nv, ns), trace = eval_core(params, state, inputs)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(run, n, o), new, old)
+            return (keep(state_new, state),
+                    (keep(nv, inputs['norms_vals']),
+                     keep(ns, inputs['norms_set'])), trace)
+        masked_eval = jax.jit(
+            jax.vmap(masked_eval_core, in_axes=(None, 0, 0, 0)),
+            donate_argnums=(1,))
+    return masked_step, masked_eval
+
+
 def stack_lanes(trees):
     """Stacks a list of per-lane pytrees along a new leading lane axis."""
-    import jax.numpy as jnp
     return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *trees)
 
 

@@ -1,0 +1,51 @@
+"""bfloat16 mode: runs end-to-end and stays within coarse agreement of the
+float32 (reference-exact) path — the documented speed/accuracy trade."""
+
+import numpy as np
+
+from style_transfer2_tpu.engine import StyleTransfer
+from style_transfer2_tpu.models import random_params
+
+WEIGHTS = {'content': {'conv2_2': 0.1},
+           'style': {'conv1_1': 1.0, 'conv2_1': 1.0}, 'deepdream': {}}
+SCALARS = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+
+
+def _run(precision, optimizer, n_steps=3):
+    rng = np.random.RandomState(2)
+    st = StyleTransfer(random_params(4), precision=precision)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer(optimizer)
+    st.set_step_size({'adam': 10.0, 'lbfgs': 1.0}[optimizer])
+    st.set_content(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+    st.set_style(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+    st.set_input(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+    assert st.start()
+    traces = []
+    img = None
+    for _ in range(n_steps):
+        img, trace = st.step()
+        traces.append(trace)
+    return img, traces
+
+
+def test_bf16_tracks_f32():
+    for optimizer in ('adam', 'lbfgs'):
+        img32, traces32 = _run('float32', optimizer)
+        img16, traces16 = _run('bfloat16', optimizer)
+        assert list(traces16[0].keys()) == list(traces32[0].keys())
+        # Step 1 evaluates both paths at the SAME iterate: bf16 features give
+        # ~1% loss deviations. Later steps compound through the optimizer, so
+        # only coarse agreement holds.
+        for step, (t16, t32) in enumerate(zip(traces16, traces32)):
+            rtol = 0.1 if step == 0 else 0.75
+            for key in t32:
+                if key in ('time', 'fevals'):
+                    continue
+                np.testing.assert_allclose(
+                    t16[key], t32[key], rtol=rtol,
+                    err_msg='%s/%s@%d' % (optimizer, key, step))
+        assert np.isfinite(img16).all()
+        # images stay visually close at these few steps
+        rms = np.sqrt(np.mean((img16 - img32) ** 2))
+        assert rms < 8.0, rms

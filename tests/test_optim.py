@@ -118,15 +118,15 @@ def test_lbfgs_rejects_flat_curvature(rng):
     state = lbfgs.init(x0, n_corr=3)
     s = jnp.zeros_like(state['x'])
     y = jnp.zeros_like(state['x'])
-    sk, yk, syk, count = lbfgs.store_curvature_pair(state, s, y)
-    assert int(count) == 0
+    sk, yk, syk, count, pos = lbfgs.store_curvature_pair(state, s, y)
+    assert int(count) == 0 and int(pos) == 0
 
     s = jnp.ones_like(state['x'])
     y = jnp.ones_like(state['x'])
-    sk, yk, syk, count = lbfgs.store_curvature_pair(state, s, y)
-    assert int(count) == 1
-    np.testing.assert_allclose(np.asarray(sk[-1]), 1.0)
-    np.testing.assert_allclose(float(syk[-1]), 4.0)
+    sk, yk, syk, count, pos = lbfgs.store_curvature_pair(state, s, y)
+    assert int(count) == 1 and int(pos) == 1
+    np.testing.assert_allclose(np.asarray(sk[0]), 1.0)
+    np.testing.assert_allclose(float(syk[0]), 4.0)
 
 
 def test_lbfgs_objective_changed_clears(rng):

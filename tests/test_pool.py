@@ -1,0 +1,227 @@
+"""Pooled multi-session serving tests: two concurrent sessions on one
+batched engine, lane assignment via cookies, independent pause/run, per-lane
+weight changes, structure-change rejection, lane exhaustion."""
+
+import asyncio
+import configparser
+import io
+import json
+
+import aiohttp
+import numpy as np
+import pytest
+import yaml
+from aiohttp import WSMsgType
+from aiohttp.test_utils import TestClient, TestServer
+from PIL import Image
+
+
+def _config():
+    cp = configparser.ConfigParser()
+    cp['DEFAULT'] = {
+        'debug': '0',
+        'initial_content': 'examples/golden_gate.jpg',
+        'initial_style': 'examples/starry_night.jpg',
+        'initial_size': '32',
+        'initial_weights': 'initial_weights.yaml',
+        'http_host': '127.0.0.1',
+        'http_port': '8000',
+        'weights': 'random',
+        'precision': 'float32',
+        'pool_lanes': '2',
+        'pool_optimizer': 'adam',
+    }
+    return cp['DEFAULT']
+
+
+async def _make_jar(loop):
+    return aiohttp.DummyCookieJar()
+
+
+@pytest.fixture
+def pool_client():
+    from style_transfer2_tpu.serve.pool import init
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    app = init(config=_config())
+    # DummyCookieJar: sessions manage their own cookies explicitly; the
+    # shared client jar would silently reuse session A's cookie for B.
+    jar = loop.run_until_complete(_make_jar(loop))
+    client = TestClient(TestServer(app), loop=loop, cookie_jar=jar)
+    loop.run_until_complete(client.start_server())
+    yield client, loop, app
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+class WSSession:
+    """One browser session: its own cookie + websocket."""
+
+    def __init__(self, client):
+        self.client = client
+        self.cookie = None
+        self.ws = None
+        self.got = {}
+
+    async def open(self):
+        resp = await self.client.get('/', headers=self._headers())
+        assert resp.status == 200
+        for cookie in resp.cookies.values():
+            if cookie.key == 'pool_session':
+                self.cookie = cookie.value
+        assert self.cookie
+        self.ws = await self.client.ws_connect('/websocket',
+                                               headers=self._headers())
+        return self
+
+    def _headers(self):
+        return ({'Cookie': 'pool_session=%s' % self.cookie}
+                if self.cookie else {})
+
+    async def recv_until(self, wanted, limit=400):
+        for _ in range(limit):
+            msg = await asyncio.wait_for(self.ws.receive(), 240)
+            assert msg.type == WSMsgType.TEXT, msg
+            data = json.loads(msg.data)
+            self.got[data['type']] = data
+            if data['type'] == wanted:
+                return data
+        raise AssertionError('no %s (got %s)' % (wanted, list(self.got)))
+
+    async def send(self, obj):
+        await self.ws.send_str(json.dumps(obj))
+
+    async def output(self):
+        resp = await self.client.get('/output', headers=self._headers())
+        assert resp.status == 200
+        return np.asarray(Image.open(io.BytesIO(await resp.read())))
+
+
+def test_two_sessions_share_one_engine(pool_client):
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        b = await WSSession(client).open()
+        assert a.cookie != b.cookie
+        await a.recv_until('state')
+        await b.recv_until('state')
+        lanes = {s.lane for s in app['sessions'].values()}
+        assert lanes == {0, 1}
+
+        # Start only session A: it iterates, B stays idle.
+        await a.send({'type': 'start'})
+        info_a = await a.recv_until('iterateInfo')
+        assert info_a['i'] >= 1
+        lane_b = [s.lane for s in app['sessions'].values()
+                  if s.session_id == b.cookie][0]
+        assert app['engine'].t[lane_b] == 0
+
+        # Start B too; both advance independently.
+        await b.send({'type': 'start'})
+        info_b = await b.recv_until('iterateInfo')
+        assert info_b['i'] >= 1
+        a.got.pop('iterateInfo')
+        info_a2 = await a.recv_until('iterateInfo')
+        assert info_a2['i'] > info_a['i']
+
+        # Pause A: A freezes while B keeps running.
+        await a.send({'type': 'pause'})
+        state = await a.recv_until('state')
+        assert state['running'] is False
+        await asyncio.sleep(0.3)
+        lane_a = [s.lane for s in app['sessions'].values()
+                  if s.session_id == a.cookie][0]
+        t_a = app['engine'].t[lane_a]
+        b.got.pop('iterateInfo')
+        await b.recv_until('iterateInfo')
+        assert app['engine'].t[lane_a] == t_a  # frozen
+
+        # Per-lane weight VALUE change is accepted.
+        params = yaml.safe_load(b.got['newParams']['params'])
+        params['weights'][0]['style']['conv1_1'] = 2.5
+        b.got.pop('newParams')
+        await b.send({'type': 'applyParams',
+                      'params': yaml.safe_dump(params)})
+        reply = await b.recv_until('newParams')
+        assert reply['errorString'] == ''
+
+        # Structure change is rejected with a readable error.
+        bad = yaml.safe_load(b.got['newParams']['params'])
+        bad['weights'][0]['deepdream'] = {'conv3_1': 1.0}
+        b.got.pop('newParams')
+        await b.send({'type': 'applyParams', 'params': yaml.safe_dump(bad)})
+        reply = await b.recv_until('newParams')
+        assert 'structure' in reply['errorString']
+
+        # Size change is rejected in pool mode.
+        bad2 = yaml.safe_load(b.got['newParams']['params'])
+        bad2['size'] = 64
+        b.got.pop('newParams')
+        await b.send({'type': 'applyParams', 'params': yaml.safe_dump(bad2)})
+        reply = await b.recv_until('newParams')
+        assert 'fixed resolution' in reply['errorString']
+
+        # /output serves each session its own image.
+        img_a = await a.output()
+        img_b = await b.output()
+        assert img_a.shape[:2] == app['bucket_hw']
+        assert not np.array_equal(img_a, img_b)
+
+        await a.ws.close()
+        await b.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_exhaustion_503(pool_client):
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        b = await WSSession(client).open()
+        # Third fresh session: no free lane -> 503.
+        resp = await client.get('/')
+        assert resp.status == 503
+        await a.ws.close()
+        await b.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 300))
+
+
+def test_pool_upload_and_reset(pool_client):
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        await a.send({'type': 'start'})
+        await a.recv_until('iterateInfo')
+
+        # Upload a new content image; the lane requeues and iterates anew.
+        rng = np.random.RandomState(3)
+        img = Image.fromarray(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format='png')
+        import base64
+        data_url = ('data:image/png;base64,'
+                    + base64.b64encode(buf.getvalue()).decode())
+        resp = await client.post(
+            '/upload', data={'size': '32', 'slot': 'content',
+                             'data': data_url},
+            headers=a._headers())
+        assert resp.status == 200
+        a.got.pop('thumbnails', None)
+        await a.recv_until('thumbnails')
+        a.got.pop('iterateInfo', None)
+        info = await a.recv_until('iterateInfo')
+        assert info['i'] >= 1
+
+        # Reset: iterate count restarts.
+        await a.send({'type': 'reset'})
+        for _ in range(50):
+            a.got.pop('iterateInfo', None)
+            info = await a.recv_until('iterateInfo')
+            if info['i'] == 1:
+                break
+        assert info['i'] >= 1
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
