@@ -14,7 +14,6 @@ behavior rather than Caffe folklore.
 """
 
 import io
-import struct
 
 import numpy as np
 
@@ -110,20 +109,6 @@ def _read_varint(buf):
         if not b & 0x80:
             return result
         shift += 7
-
-
-def _skip_field(buf, wire_type):
-    if wire_type == 0:
-        _read_varint(buf)
-    elif wire_type == 1:
-        buf.read(8)
-    elif wire_type == 2:
-        length = _read_varint(buf)
-        buf.read(length)
-    elif wire_type == 5:
-        buf.read(4)
-    else:
-        raise ValueError('Unsupported wire type %d' % wire_type)
 
 
 def _iter_fields(data):

@@ -1,0 +1,146 @@
+"""Weight-converter tests: the caffemodel protobuf wire parser against
+synthetically encoded NetParameter bytes (both modern and legacy layer
+encodings), the torchvision converter, and npz round-trips."""
+
+import io
+
+import numpy as np
+import pytest
+
+from style_transfer2_tpu.models.vgg19 import CONV_SPECS, _IN_CHANNELS
+from style_transfer2_tpu.models.weights import (
+    load_params,
+    params_from_caffemodel,
+    params_from_torchvision,
+    random_params,
+    resolve_params,
+    save_params,
+)
+
+
+# -- minimal protobuf wire-format writer ---------------------------------------
+
+def _varint(value):
+    out = b''
+    while True:
+        bits = value & 0x7F
+        value >>= 7
+        if value:
+            out += bytes([bits | 0x80])
+        else:
+            out += bytes([bits])
+            return out
+
+
+def _tag(field, wire_type):
+    return _varint((field << 3) | wire_type)
+
+
+def _len_delim(field, payload):
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _encode_blob(data, shape, legacy_dims=False):
+    """BlobProto: packed float data (field 5) + BlobShape (field 7) or
+    legacy num/channels/height/width (fields 1-4)."""
+    out = b''
+    if legacy_dims:
+        for field, dim in zip((1, 2, 3, 4), shape):
+            out += _tag(field, 0) + _varint(dim)
+    else:
+        dims = b''.join(_varint(d) for d in shape)
+        out += _len_delim(7, _len_delim(1, dims))
+    out += _len_delim(5, np.float32(data).tobytes())
+    return out
+
+
+def _encode_layer(name, blobs, modern=True):
+    if modern:  # LayerParameter: name=1, type=2, blobs=7
+        payload = _len_delim(1, name.encode())
+        payload += _len_delim(2, b'Convolution')
+        for blob in blobs:
+            payload += _len_delim(7, blob)
+        return _len_delim(100, payload)
+    # V1LayerParameter: name=4, type=5 (enum), blobs=6
+    payload = _len_delim(4, name.encode())
+    payload += _tag(5, 0) + _varint(4)
+    for blob in blobs:
+        payload += _len_delim(6, blob)
+    return _len_delim(2, payload)
+
+
+def _make_caffemodel(rng, modern=True, legacy_dims=False):
+    """Encodes a full truncated-VGG NetParameter; returns (bytes, params)."""
+    out = _len_delim(1, b'vgg19_synthetic')
+    expected = {}
+    for layer_name, out_c in CONV_SPECS:
+        in_c = _IN_CHANNELS[layer_name]
+        w = rng.randn(out_c, in_c, 3, 3).astype(np.float32)  # Caffe OIHW
+        b = rng.randn(out_c).astype(np.float32)
+        blobs = [_encode_blob(w.ravel(), (out_c, in_c, 3, 3), legacy_dims),
+                 _encode_blob(b, (out_c,), legacy_dims)]
+        out += _encode_layer(layer_name, blobs, modern)
+        expected[layer_name] = {
+            'w': np.ascontiguousarray(w.transpose(2, 3, 1, 0)),  # HWIO
+            'b': b,
+        }
+    return out, expected
+
+
+@pytest.mark.parametrize('modern,legacy_dims', [
+    (True, False), (False, False), (False, True)])
+def test_caffemodel_parser_roundtrip(tmp_path, rng, modern, legacy_dims):
+    data, expected = _make_caffemodel(rng, modern, legacy_dims)
+    path = tmp_path / 'synthetic.caffemodel'
+    path.write_bytes(data)
+    params = params_from_caffemodel(path)
+    assert set(params) == set(expected)
+    for name in expected:
+        np.testing.assert_array_equal(params[name]['w'], expected[name]['w'])
+        np.testing.assert_array_equal(params[name]['b'], expected[name]['b'])
+
+
+def test_caffemodel_missing_layer_raises(tmp_path, rng):
+    data, _ = _make_caffemodel(rng)
+    # Truncate: drop everything after the first few layers.
+    path = tmp_path / 'broken.caffemodel'
+    path.write_bytes(data[:len(data) // 4])
+    with pytest.raises((ValueError, EOFError)):
+        params_from_caffemodel(path)
+
+
+def test_torchvision_conversion(rng):
+    import torch
+    state_dict = {}
+    expected = {}
+    idx_map = {'conv1_1': 0, 'conv1_2': 2, 'conv2_1': 5, 'conv2_2': 7,
+               'conv3_1': 10, 'conv3_2': 12, 'conv3_3': 14, 'conv3_4': 16,
+               'conv4_1': 19, 'conv4_2': 21, 'conv4_3': 23, 'conv4_4': 25,
+               'conv5_1': 28, 'conv5_2': 30, 'conv5_3': 32, 'conv5_4': 34}
+    for name, out_c in CONV_SPECS:
+        in_c = _IN_CHANNELS[name]
+        w = rng.randn(out_c, in_c, 3, 3).astype(np.float32)
+        b = rng.randn(out_c).astype(np.float32)
+        state_dict['features.%d.weight' % idx_map[name]] = torch.from_numpy(w)
+        state_dict['features.%d.bias' % idx_map[name]] = torch.from_numpy(b)
+        expected[name] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+    params = params_from_torchvision(state_dict)
+    for name in expected:
+        np.testing.assert_array_equal(params[name]['w'], expected[name])
+
+
+def test_npz_roundtrip_and_resolve(tmp_path, rng):
+    params = random_params(3)
+    save_params(params, tmp_path / 'w.npz')
+    loaded = load_params(tmp_path / 'w.npz')
+    for name in params:
+        np.testing.assert_array_equal(loaded[name]['w'], params[name]['w'])
+
+    # resolve_params: explicit path, 'random', and auto-fallback.
+    via_path = resolve_params(str(tmp_path / 'w.npz'))
+    np.testing.assert_array_equal(via_path['conv1_1']['w'],
+                                  params['conv1_1']['w'])
+    rnd = resolve_params('random')
+    assert rnd['conv5_4']['w'].shape == (3, 3, 512, 512)
+    auto = resolve_params('auto', root=tmp_path)  # nothing there -> random
+    np.testing.assert_array_equal(auto['conv1_1']['w'], rnd['conv1_1']['w'])
