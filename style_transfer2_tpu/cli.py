@@ -76,6 +76,9 @@ def parse_args(argv=None):
                    help='resume from a checkpoint directory')
     p.add_argument('--save-every', type=int, default=0,
                    help='write the in-progress image every N iterations')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize convs in the backward pass (less '
+                        'memory, ~1.5x backward compute; for 2K+ sizes)')
     p.add_argument('--pallas', action='store_true',
                    help='use the fused Pallas style kernel (TPU)')
     p.add_argument('--profile', default=None,
@@ -121,7 +124,7 @@ def main(argv=None):
     weights, scalar_params = load_weights_doc(args.weights)
 
     st = StyleTransfer(params, precision=args.precision, placement=placement,
-                       use_pallas=args.pallas)
+                       use_pallas=args.pallas, remat=args.remat)
     st.set_weights(weights, scalar_params)
     st.set_optimizer(args.optimizer)
     st.set_step_size(args.step_size if args.step_size is not None

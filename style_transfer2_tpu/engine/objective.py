@@ -152,14 +152,16 @@ def empty_norms(spec):
     return vals, set_
 
 
-def make_objective(spec, precision, compute_dtype, use_pallas=False):
+def make_objective(spec, precision, compute_dtype, use_pallas=False,
+                   remat=False):
     """Returns objective(params, x, content_feats, grams, layer_weights,
     scalars, norms_vals, norms_set) -> (loss, grad, (norms_vals', norms_set'),
     trace_tuple). Pure — safe to close over inside a larger jitted step."""
 
     def objective(params, x, content_feats, grams, layer_weights, scalars,
                   norms_vals, norms_set, temporal_target=None):
-        model = vgg19.VGG19Features(params, precision, compute_dtype)
+        model = vgg19.VGG19Features(params, precision, compute_dtype,
+                                    remat)
         feats, vjp = model.features_and_vjp(x, spec.layers)
 
         loss = jnp.float32(0.0)

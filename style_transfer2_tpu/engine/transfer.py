@@ -38,22 +38,25 @@ class StyleTransfer:
     optimizer pytree. API parity with reference worker.py:117-315."""
 
     def __init__(self, params, precision='float32', n_corr=10, placement=None,
-                 use_pallas=False):
+                 use_pallas=False, remat=False):
         """placement: optional parallel.SpatialPlacement — shards the image
         axis of every array over a device mesh for high-res jobs; the same
         jitted step then runs SPMD with XLA-inserted halo exchanges.
         use_pallas: route the style branch through the fused Pallas kernel
-        (TPU only; incompatible with spatial placement)."""
+        (TPU only; incompatible with spatial placement). remat:
+        rematerialize convs in the backward pass — residual memory drops to
+        the feature taps, enabling 2K+ single-chip resolutions."""
         self.params = params
         self.precision = precision
         self.n_corr = n_corr
         self.placement = placement
         self.use_pallas = use_pallas and placement is None
+        self.remat = remat
         if placement is not None:
             self.params = placement.replicated(params)
         lax_precision, compute_dtype = precision_config(precision)
         self.model = vgg19.VGG19Features(self.params, lax_precision,
-                                         compute_dtype)
+                                         compute_dtype, remat)
 
         self.is_running = False
         self.is_starting = False
@@ -328,7 +331,8 @@ class StyleTransfer:
         spec = self.spec()
         step_fn, eval_fn = build_step_fns(spec, self.optimizer_name,
                                           self.precision,
-                                          use_pallas=self.use_pallas)
+                                          use_pallas=self.use_pallas,
+                                          remat=self.remat)
         self._prime_if_needed(spec, eval_fn)
 
         inputs = self._gather_inputs(spec)
@@ -348,11 +352,13 @@ class StyleTransfer:
         per iteration; returns (image-or-None, last trace dict)."""
         spec = self.spec()
         _, eval_fn = build_step_fns(spec, self.optimizer_name, self.precision,
-                                    use_pallas=self.use_pallas)
+                                    use_pallas=self.use_pallas,
+                                    remat=self.remat)
         self._prime_if_needed(spec, eval_fn)
 
         scan_fn = build_scan_fn(spec, self.optimizer_name, self.precision,
-                                n_steps, use_pallas=self.use_pallas)
+                                n_steps, use_pallas=self.use_pallas,
+                                remat=self.remat)
         inputs = self._gather_inputs(spec)
         self.opt_state, norms, traces = scan_fn(
             self.params, self.opt_state, inputs, self._step_size_device())

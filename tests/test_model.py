@@ -110,3 +110,22 @@ def test_forward_stops_at_deepest_layer(rng):
     feats = model.forward(x, ('conv1_1',))
     assert set(feats) == {'conv1_1'}
     assert feats['conv1_1'].shape == (1, 8, 8, 64)
+
+
+def test_remat_matches_plain(rng):
+    """remat=True must be numerically identical (same taps, same vjp)."""
+    params = random_params(2)
+    img = rng.randint(0, 256, (20, 20, 3)).astype(np.uint8)
+    x = preprocess(img)
+    layers = ('conv1_1', 'conv2_1', 'conv3_1')
+    plain = VGG19Features(params)
+    rem = VGG19Features(params, remat=True)
+    f_a, vjp_a = plain.features_and_vjp(x, layers)
+    f_b, vjp_b = rem.features_and_vjp(x, layers)
+    diffs = {l: jnp.asarray(rng.randn(*f_a[l].shape).astype(np.float32))
+             for l in layers}
+    for l in layers:
+        np.testing.assert_allclose(np.asarray(f_a[l]), np.asarray(f_b[l]),
+                                   rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vjp_a(diffs)),
+                               np.asarray(vjp_b(diffs)), rtol=1e-5, atol=1e-6)
