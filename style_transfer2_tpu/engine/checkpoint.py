@@ -97,5 +97,5 @@ def load_checkpoint(st, path):
         st.grams = st._place_replicated(st.grams) if st.grams else None
 
     if st.content is not None:
-        st.features = st._place_state(dict(st.model.forward(st.content)))
+        st.features = st._content_features()
     return st

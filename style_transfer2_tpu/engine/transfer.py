@@ -63,7 +63,12 @@ class StyleTransfer:
         self.t = 0
         self._input = None          # (1, H, W, 3) f32 device array
         self.content = None         # (1, H, W, 3) f32 device array
-        self.features = None        # dict blob -> device array (all blobs)
+        # Content features are stored ONLY for layers the current objective
+        # needs and recomputed (from self.content) when a weight-structure
+        # change needs more — numerically identical to the reference's
+        # store-everything (features are a pure function of the content
+        # image) but ~10x less HBM at high resolution.
+        self.features = None        # dict blob -> device array (lazy subset)
         self.grams = None           # dict blob -> (c, c) device array
 
         # Until SetWeights arrives the reference weights every (layer, loss)
@@ -159,7 +164,7 @@ class StyleTransfer:
         else:
             self.content = self._place_image(
                 jnp.zeros((1,) + size + (3,), jnp.float32))
-        self.features = self._place_state(dict(self.model.forward(self.content)))
+        self.features = self._content_features()
         self._start()
         self.objective_changed()
 
@@ -216,9 +221,19 @@ class StyleTransfer:
 
     def set_content(self, image):
         self.content = self._place_image(vgg19.preprocess(image))
-        self.features = self._place_state(dict(self.model.forward(self.content)))
+        self.features = self._content_features()
         self._start()
         self.objective_changed()
+
+    def _content_features(self, layers=None):
+        """Computes content features for the given blob names (default: the
+        current objective's content layers)."""
+        if layers is None:
+            layers = self.spec().content_layers
+        if not layers:
+            return {}
+        return self._place_state(dict(self.model.forward(self.content,
+                                                         tuple(layers))))
 
     def set_style(self, image):
         image = self._place_image(vgg19.preprocess(image))
@@ -278,6 +293,11 @@ class StyleTransfer:
             if key in self.norm_vals:
                 norms_vals[key] = self.norm_vals[key]
                 norms_set[key] = self.norm_set[key]
+        missing = [l for l in spec.content_layers if l not in self.features]
+        if missing and self.content is not None:
+            # A weight-structure change added content layers; recompute their
+            # features from the stored content image (pure function).
+            self.features.update(self._content_features(spec.content_layers))
         inputs = {
             'content_feats': {l: self.features[l] for l in spec.content_layers},
             'grams': {l: self.grams[l] for l in spec.style_layers},

@@ -111,3 +111,21 @@ def test_lbfgs_resample_clears_history(rng):
     st._start()
     _, trace = st.step()
     assert np.isfinite(trace['loss'])
+
+
+def test_structure_change_recomputes_content_features(rng):
+    """Adding a content layer mid-run must lazily recompute its features
+    from the stored content image — trace parity with the oracle (which
+    stores all features up front) proves the values are identical."""
+    weights_a = {'content': {'conv2_2': 0.1}, 'style': {'conv1_1': 1.0},
+                 'deepdream': {}}
+    weights_b = {'content': {'conv2_2': 0.1, 'conv3_2': 0.4},
+                 'style': {'conv1_1': 1.0, 'conv2_1': 0.5}, 'deepdream': {}}
+    st, ref = _pair(weights_a, rng)
+    for _ in range(2):
+        st.step()
+        ref.step()
+    st.set_weights(weights_b, SCALARS)
+    ref.weights = weights_b
+    ref.optimizer.objective_changed()
+    _compare(st, ref, 3)
