@@ -186,3 +186,32 @@ def test_batched_lanes_sharded_over_data_axis(rng):
     losses = np.asarray(traces[loss_idx])
     assert losses.shape == (2,)
     assert np.isfinite(losses).all()
+
+
+def test_spatial_sharding_with_scan():
+    """run_steps (fused scan) under spatial placement: the donated sharded
+    state threads through the scan and matches single-device traces."""
+    mesh = make_mesh('2x4')
+    placement = SpatialPlacement(mesh)
+
+    def run(pl):
+        rng = np.random.RandomState(7)
+        st = StyleTransfer(random_params(2), placement=pl)
+        st.set_weights(WEIGHTS, SCALARS)
+        st.set_optimizer('adam')
+        st.set_step_size(10.0)
+        st.set_content(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+        st.set_style(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+        st.set_input(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+        assert st.start()
+        img, trace = st.run_steps(3)
+        return img, trace
+
+    img_s, trace_s = run(placement)
+    img_u, trace_u = run(None)
+    for key in trace_u:
+        if key == 'time':
+            continue
+        np.testing.assert_allclose(trace_s[key], trace_u[key],
+                                   rtol=5e-4, atol=1e-6, err_msg=key)
+    np.testing.assert_allclose(img_s, img_u, rtol=1e-3, atol=0.1)

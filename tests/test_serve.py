@@ -334,3 +334,47 @@ def test_router_registry_and_expiry(tmp_path):
         router_mod.load_state(app2)
         assert 'http://x/__control/reset' in app2['addrs']
     run(body())
+
+
+def test_app_control_reset_and_input_upload(app_client):
+    """The router-facing control reset endpoint and the 'input'/'style'
+    upload slots."""
+    client, loop = app_client
+
+    async def body():
+        ws = await client.ws_connect('/websocket')
+        got = {}
+
+        async def recv_until(wanted, limit=300):
+            for _ in range(limit):
+                msg = await asyncio.wait_for(ws.receive(), 240)
+                data = json.loads(msg.data)
+                got[data['type']] = data
+                if data['type'] == wanted:
+                    return data
+            raise AssertionError('never received %s' % wanted)
+
+        await recv_until('workerReady')
+
+        # Upload into the 'input' slot: replaces the iterate at its size.
+        resp = await client.post('/upload', data={
+            'size': '48', 'slot': 'input', 'data': _data_url((48, 48), 9)})
+        assert resp.status == 200
+        # And the 'style' slot: thumbnails broadcast.
+        got.pop('thumbnails', None)
+        resp = await client.post('/upload', data={
+            'size': '48', 'slot': 'style', 'data': _data_url((30, 30), 4)})
+        assert resp.status == 200
+        await recv_until('thumbnails')
+
+        # Router-driven session reset over the HTTP control plane: app
+        # pauses, state reinitializes, clients get a state broadcast.
+        await ws.send_str(json.dumps({'type': 'start'}))
+        await recv_until('iterateInfo')
+        got.pop('state', None)
+        resp = await client.post('/__control/reset')
+        assert resp.status == 200
+        state = await recv_until('state')
+        assert state['running'] is False
+        await ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 300))
