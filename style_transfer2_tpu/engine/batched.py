@@ -22,7 +22,8 @@ import numpy as np
 from ..models import vgg19
 from ..ops.gram import gram_matrix
 from ..optim import OPTIMIZERS, STEP_SIZES
-from ..parallel.batch import build_masked_batched_step_fns
+from ..parallel.batch import (build_masked_batched_scan_fn,
+                              build_masked_batched_step_fns)
 from ..utils.tracing import Trace
 from .objective import (
     ObjectiveSpec,
@@ -247,6 +248,47 @@ class BatchedStyleTransfer:
                 trace(key, float(col[lane]))
             trace('fevals', self.t[lane])
             out[lane] = trace.data
+        return out
+
+    def run_steps_all(self, n_steps):
+        """K fused optimizer steps for every running lane in ONE dispatch
+        (vmap of lax.scan) — the batched analog of StyleTransfer.run_steps.
+        Returns {lane: [trace dict per step]} for running lanes."""
+        if n_steps == 1:
+            return {lane: [trace] for lane, trace in self.step_all().items()}
+        _, eval_fn = build_masked_batched_step_fns(
+            self.spec, self.optimizer_name, self.precision)
+        mask = self._run_mask()
+        if self._needs_init and eval_fn is not None:
+            self.states, norms, _ = eval_fn(self.params, self.states,
+                                            self.inputs, mask)
+            inputs = dict(self.inputs)
+            inputs['norms_vals'], inputs['norms_set'] = norms
+            self.inputs = inputs
+            self._needs_init = False
+
+        scan_fn = build_masked_batched_scan_fn(
+            self.spec, self.optimizer_name, self.precision, n_steps)
+        self.states, norms, traces = scan_fn(
+            self.params, self.states, self.inputs, self.step_sizes, mask)
+        inputs = dict(self.inputs)
+        inputs['norms_vals'], inputs['norms_set'] = norms
+        self.inputs = inputs
+
+        columns = [np.asarray(c) for c in jax.device_get(traces)]  # (B, K)
+        out = {}
+        for lane, busy in enumerate(self.active):
+            if not busy or not self.running[lane]:
+                continue
+            lane_traces = []
+            for k in range(n_steps):
+                self.t[lane] += 1
+                trace = Trace()
+                for key, col in zip(self.spec.trace_keys, columns):
+                    trace(key, float(col[lane, k]))
+                trace('fevals', self.t[lane])
+                lane_traces.append(trace.data)
+            out[lane] = lane_traces
         return out
 
     def lane_image(self, lane):

@@ -89,6 +89,42 @@ def build_masked_batched_step_fns(spec, optimizer, precision='float32',
     return masked_step, masked_eval
 
 
+@functools.lru_cache(maxsize=64)
+def build_masked_batched_scan_fn(spec, optimizer, precision='float32',
+                                 n_steps=10, b1=_adam.B1_DEFAULT,
+                                 b2=_adam.B2_DEFAULT):
+    """K fused steps for every lane in ONE dispatch: vmap over lanes of a
+    lax.scan of the masked step. Per-lane norm state threads through the
+    scan; masked lanes stay frozen for all K steps.
+
+      scan_fn(params, states, inputs, step_sizes, mask)
+        -> (states', norms', traces)   # traces: tuple of (lanes, K) arrays
+    """
+    step_core, _ = build_step_core(spec, optimizer, precision, b1, b2)
+
+    def lane_scan(params, state, inputs, step_size, run):
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(run, n, o), new, old)
+
+        def body(carry, _):
+            state, nv, ns = carry
+            step_inputs = dict(inputs)
+            step_inputs['norms_vals'] = nv
+            step_inputs['norms_set'] = ns
+            state_new, (nv2, ns2), trace = step_core(params, state,
+                                                     step_inputs, step_size)
+            return (keep(state_new, state), keep(nv2, nv), keep(ns2, ns)), \
+                trace
+
+        init = (state, inputs['norms_vals'], inputs['norms_set'])
+        (state, nv, ns), traces = jax.lax.scan(body, init, None,
+                                               length=n_steps)
+        return state, (nv, ns), traces
+
+    return jax.jit(jax.vmap(lane_scan, in_axes=(None, 0, 0, 0, 0)),
+                   donate_argnums=(1,))
+
+
 def stack_lanes(trees):
     """Stacks a list of per-lane pytrees along a new leading lane axis."""
     return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *trees)

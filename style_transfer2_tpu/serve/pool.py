@@ -324,41 +324,48 @@ def process_params(app, sess, msg):
 # -- The stepping task ----------------------------------------------------------
 
 async def pool_driver(app):
-    """Steps every running lane with one batched dispatch per tick, then
-    fans Iterate bookkeeping out to the sessions."""
+    """Steps every running lane with one batched dispatch per tick (K fused
+    steps when pool_steps_per_dispatch > 1), then fans Iterate bookkeeping
+    out to the sessions. The image is snapshotted once per tick; each fused
+    step still gets its own iterateInfo trace."""
     engine = app['engine']
+    k = app['config'].getint('pool_steps_per_dispatch', 1)
     loop = asyncio.get_event_loop()
     while True:
         if not engine.any_running():
             app['wake'].clear()
             await app['wake'].wait()
             continue
-        traces = await loop.run_in_executor(app['executor'], engine.step_all)
+        lane_traces = await loop.run_in_executor(
+            app['executor'], engine.run_steps_all, k)
         now = time.perf_counter()
         by_lane = {s.lane: s for s in app['sessions'].values()}
-        for lane, trace in traces.items():
+        for lane, traces in lane_traces.items():
             sess = by_lane.get(lane)
             if sess is None:
                 continue
             image = await loop.run_in_executor(
                 app['executor'], engine.lane_image, lane)
             i = engine.t[lane]
-            if i == 1:
+            if i == len(traces):
                 sess.its_per_s.clear()
             else:
-                sess.its_per_s(1 / max(now - sess.last_it_time, 1e-9))
+                per_step = max(now - sess.last_it_time, 1e-9) / len(traces)
+                sess.its_per_s(1 / per_step)
             sess.i = i
             sess.last_it_time = now
             step_size = 0.0
             if i > 1 and image.shape == sess.input_arr.shape:
                 diff = image - np.float32(sess.input_arr)
                 step_size = float(np.sqrt(np.mean(diff ** 2)))
-            if not sess.input_was_reset or i == 1:
+            if not sess.input_was_reset or i == len(traces):
                 sess.input_was_reset = False
                 sess.input_arr = image
-                sess.send(dict(type='iterateInfo', i=i, trace=dict(trace),
-                               stepSize=step_size,
-                               itsPerS=sess.its_per_s()))
+                for j, trace in enumerate(traces):
+                    sess.send(dict(type='iterateInfo',
+                                   i=i - len(traces) + 1 + j,
+                                   trace=dict(trace), stepSize=step_size,
+                                   itsPerS=sess.its_per_s()))
         await asyncio.sleep(0)
 
 

@@ -124,3 +124,49 @@ def test_batched_on_data_mesh():
     assert all(np.isfinite(t['loss']) for t in traces.values())
     img = bt.lane_image(0)
     assert img.shape == HW + (3,)
+
+
+def test_run_steps_all_matches_step_all():
+    """The batched scan (K fused steps) must match K separate batched
+    steps trace-for-trace."""
+    params = random_params(6)
+    jobs = [_job(i) for i in range(2)]
+
+    def make():
+        bt = BatchedStyleTransfer(params, WEIGHTS, SCALARS, HW, max_lanes=2,
+                                  optimizer='adam')
+        for j in jobs:
+            bt.add_job(j['content'], j['style'], j['input'])
+        return bt
+
+    a, b = make(), make()
+    a_traces = {0: [], 1: []}
+    for _ in range(3):
+        for lane, t in a.step_all().items():
+            a_traces[lane].append(t)
+    b_traces = b.run_steps_all(3)
+
+    for lane in (0, 1):
+        assert len(b_traces[lane]) == 3
+        for ta, tb in zip(a_traces[lane], b_traces[lane]):
+            for key in ta:
+                np.testing.assert_allclose(
+                    ta[key], tb[key], rtol=1e-5, atol=1e-7,
+                    err_msg='lane %d key %s' % (lane, key))
+    np.testing.assert_allclose(a.lane_image(0), b.lane_image(0),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_run_steps_all_respects_pause():
+    params = random_params(6)
+    bt = BatchedStyleTransfer(params, WEIGHTS, SCALARS, HW, max_lanes=2,
+                              optimizer='adam')
+    for i in range(2):
+        j = _job(i)
+        bt.add_job(j['content'], j['style'], j['input'])
+    bt.set_running(0, False)
+    img0_before = bt.lane_image(0)
+    traces = bt.run_steps_all(2)
+    assert 0 not in traces and 1 in traces
+    assert bt.t == [0, 2]
+    np.testing.assert_array_equal(bt.lane_image(0), img0_before)
