@@ -178,15 +178,21 @@ async def websocket(request):
     return ws
 
 
+def _send_safely(ws, data):
+    """Fire-and-forget send that swallows disconnect races."""
+    async def _send():
+        try:
+            await ws.send_str(data)
+        except (RuntimeError, ConnectionError, asyncio.CancelledError):
+            pass
+    asyncio.ensure_future(_send())
+
+
 def send_websocket(app, msg):
     """Broadcasts a JSON message to all connected WebSocket clients."""
     data = json.dumps(msg)
     for ws in list(app['wss']):
-        try:
-            # aiohttp 3: send_str is a coroutine; fire-and-forget per client.
-            asyncio.ensure_future(ws.send_str(data))
-        except (RuntimeError, ConnectionError):
-            pass
+        _send_safely(ws, data)
 
 
 # -- Params document (reference app.py:173-262) -------------------------------
@@ -433,7 +439,9 @@ async def monitor_worker(app):
             app['driver'] = Driver(
                 app['model_params'],
                 precision=app['config'].get('precision', 'float32'),
-                use_pallas=app['config'].getboolean('pallas', False))
+                use_pallas=app['config'].getboolean('pallas', False),
+                steps_per_dispatch=app['config'].getint(
+                    'steps_per_dispatch', 1))
             app['driver_task'] = asyncio.ensure_future(app['driver'].run())
             app['pm_task'].cancel()
             app['pm_task'] = asyncio.ensure_future(process_messages(app))
@@ -462,7 +470,8 @@ async def startup_tasks(app):
     app['driver'] = Driver(
         app['model_params'],
         precision=app['config'].get('precision', 'float32'),
-        use_pallas=app['config'].getboolean('pallas', False))
+        use_pallas=app['config'].getboolean('pallas', False),
+        steps_per_dispatch=app['config'].getint('steps_per_dispatch', 1))
     app['driver_task'] = asyncio.ensure_future(app['driver'].run())
     app['pm_task'] = asyncio.ensure_future(process_messages(app))
 

@@ -28,9 +28,13 @@ class Driver:
     a pair of asyncio queues."""
 
     def __init__(self, params, precision='float32', placement=None,
-                 loop=None, use_pallas=False):
+                 loop=None, use_pallas=False, steps_per_dispatch=1):
+        """steps_per_dispatch > 1 fuses K optimizer steps per device
+        dispatch (lax.scan) for throughput; control latency grows to K
+        iterations (the reference guarantee is 1, the default)."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
                                       use_pallas=use_pallas)
@@ -64,9 +68,20 @@ class Driver:
                     if not self.transfer.is_running:
                         continue
                     if self.transfer.check_consistency():
-                        image, trace = await self._device(self.transfer.step)
-                        await self.out_queue.put(
-                            m.Iterate(image, self.transfer.t, trace))
+                        k = self.steps_per_dispatch
+                        if k == 1:
+                            image, trace = await self._device(
+                                self.transfer.step)
+                            await self.out_queue.put(
+                                m.Iterate(image, self.transfer.t, trace))
+                        else:
+                            image, _ = await self._device(
+                                self.transfer.run_steps, k)
+                            # one Iterate per fused iteration, same snapshot
+                            for j, tr in enumerate(self.transfer.traces[-k:]):
+                                await self.out_queue.put(m.Iterate(
+                                    image, self.transfer.t - k + 1 + j,
+                                    tr.data))
                     else:
                         await self.out_queue.put(m.GetImages())
                         # Wait for the app's reply instead of spinning.

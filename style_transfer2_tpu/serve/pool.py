@@ -71,10 +71,13 @@ class Session:
     def send(self, msg):
         data = json.dumps(msg)
         for ws in list(self.wss):
-            try:
-                asyncio.ensure_future(ws.send_str(data))
-            except (RuntimeError, ConnectionError):
-                pass
+            async def _send(ws=ws):
+                try:
+                    await ws.send_str(data)
+                except (RuntimeError, ConnectionError,
+                        asyncio.CancelledError):
+                    pass
+            asyncio.ensure_future(_send())
 
 
 def _thumb(pil_image, size=300):

@@ -378,3 +378,28 @@ def test_app_control_reset_and_input_upload(app_client):
         assert state['running'] is False
         await ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 300))
+
+
+def test_driver_fused_dispatch_emits_per_iteration():
+    """steps_per_dispatch > 1: the driver fuses K steps per dispatch and
+    still emits one Iterate per iteration with consecutive indices."""
+    async def body():
+        driver = Driver(random_params(0), steps_per_dispatch=3)
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+        rng = np.random.RandomState(2)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+        seen = []
+        for _ in range(6):
+            it = await _drain_until(driver, m.Iterate)
+            seen.append(it.i)
+            assert np.isfinite(it.trace['loss'])
+        assert seen == [1, 2, 3, 4, 5, 6]
+        await driver.in_queue.put(m.Shutdown())
+        await task
+    run(body())
