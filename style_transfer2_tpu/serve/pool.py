@@ -384,6 +384,40 @@ async def expire_sessions(app):
 
 # -- Lifecycle -------------------------------------------------------------------
 
+def _router_url(app):
+    config = app['config']
+    host = config.get('router_host', '')
+    port = config.get('router_control_port', '')
+    if host and port:
+        return 'http://%s:%s' % (host, port)
+    return None
+
+
+async def ping_router(app):
+    """Registers this pooled instance with the router, advertising its lane
+    capacity (the router then routes up to pool_lanes sessions here and
+    leaves per-session state management to the pool)."""
+    url = _router_url(app)
+    config = app['config']
+    payload = {
+        'addr': 'http://%s:%s/__control/reset'
+                % (config.get('pool_host', config['http_host']),
+                   config.get('pool_port', config['http_port'])),
+        'host': config.get('pool_host', config['http_host']),
+        'port': int(config.get('pool_port', config['http_port'])),
+        'app_id': app['id'],
+        'capacity': app['engine'].max_lanes,
+    }
+    while True:
+        try:
+            async with aiohttp.ClientSession() as sess:
+                await sess.post(url + '/__register', json=payload,
+                                timeout=aiohttp.ClientTimeout(total=2))
+        except Exception as err:
+            logger.debug('router ping failed: %s', err)
+        await asyncio.sleep(5)
+
+
 async def startup_tasks(app):
     import concurrent.futures
 
@@ -414,11 +448,24 @@ async def startup_tasks(app):
     app['wake'] = asyncio.Event()
     app['executor'] = concurrent.futures.ThreadPoolExecutor(
         max_workers=1, thread_name_prefix='pool-driver')
+    app['id'] = os.urandom(8).hex()
     app['driver_task'] = asyncio.ensure_future(pool_driver(app))
     app['expire_task'] = asyncio.ensure_future(expire_sessions(app))
+    app['pr_task'] = None
+    if _router_url(app):
+        app['pr_task'] = asyncio.ensure_future(ping_router(app))
 
 
 async def cleanup_tasks(app):
+    if app.get('pr_task'):
+        app['pr_task'].cancel()
+        try:
+            async with aiohttp.ClientSession() as sess:
+                await sess.post(_router_url(app) + '/__unregister',
+                                json={'app_id': app['id']},
+                                timeout=aiohttp.ClientTimeout(total=2))
+        except Exception:
+            pass
     app['driver_task'].cancel()
     app['expire_task'].cancel()
     app['executor'].shutdown(wait=False)

@@ -35,24 +35,38 @@ logger = logging.getLogger('router')
 
 
 class AppInstance:
-    def __init__(self, addr, host, port, app_id, session_id=None,
-                 last_access=None, last_ping=None):
+    """Registry entry for one app. capacity > 1 marks a pooled instance
+    (serve/pool.py) that multiplexes several sessions internally: the router
+    then only provides affinity/balancing, never sends Reset (the pool
+    manages per-session state via its own cookie)."""
+
+    def __init__(self, addr, host, port, app_id, capacity=1,
+                 sessions=None, last_ping=None):
         self.addr = addr          # the app's control-reset URL
         self.host = host
         self.port = port
         self.app_id = app_id
-        self.session_id = session_id
-        self.last_access = last_access or time.monotonic()
+        self.capacity = max(1, int(capacity))
+        self.sessions = dict(sessions or {})  # session_id -> last_access
         self.last_ping = last_ping or time.monotonic()
+
+    def has_room(self):
+        return len(self.sessions) < self.capacity
+
+    def touch(self, session_id):
+        self.sessions[session_id] = time.monotonic()
 
     def to_json(self):
         return {'addr': self.addr, 'host': self.host, 'port': self.port,
-                'app_id': self.app_id, 'session_id': self.session_id}
+                'app_id': self.app_id, 'capacity': self.capacity,
+                'sessions': sorted(self.sessions)}
 
     @classmethod
     def from_json(cls, data):
+        now = time.monotonic()
         return cls(data['addr'], data['host'], data['port'], data['app_id'],
-                   data.get('session_id'))
+                   data.get('capacity', 1),
+                   {sid: now for sid in data.get('sessions', [])})
 
 
 async def send_reset(inst):
@@ -68,7 +82,7 @@ async def send_reset(inst):
 async def stats(request):
     app = request.app
     return render('stats.html', {
-        'instances': len(app['addrs']),
+        'instances': sum(i.capacity for i in app['addrs'].values()),
         'sessions': len(app['sessions']),
         'timestamp': time.asctime(time.gmtime()),
         'loadavg': os.getloadavg(),
@@ -86,11 +100,14 @@ async def proxy(request):
         session_id = os.urandom(8).hex()
         inst = None
         for instance in app['addrs'].values():
-            if instance.session_id is None:
+            if instance.has_room():
                 inst = instance
                 logger.debug('New session: %s on %s', session_id, inst.addr)
-                await send_reset(inst)
-                inst.session_id = session_id
+                if inst.capacity == 1:
+                    # Dedicated instance: clear the previous user's state
+                    # (pooled instances manage per-session state themselves).
+                    await send_reset(inst)
+                inst.touch(session_id)
                 app['sessions'][session_id] = inst
                 break
         if inst is None:
@@ -98,7 +115,7 @@ async def proxy(request):
         set_session_id = True
 
     inst = app['sessions'][session_id]
-    inst.last_access = time.monotonic()
+    inst.touch(session_id)
 
     try:
         async with aiohttp.ClientSession() as sess:
@@ -127,8 +144,10 @@ async def proxy(request):
             else:
                 raise web.HTTPForbidden()
     except aiohttp.ClientError:
-        logger.debug('Expiring session %s on %s', inst.session_id, inst.addr)
-        await send_reset(inst)
+        logger.debug('Expiring session %s on %s', session_id, inst.addr)
+        if inst.capacity == 1:
+            await send_reset(inst)
+        inst.sessions.pop(session_id, None)
         app['sessions'].pop(session_id, None)
         raise web.HTTPInternalServerError()
 
@@ -145,15 +164,20 @@ async def proxy_ws(request):
         raise web.HTTPForbidden()
     session_id = request.cookies['session_id']
     inst = app['sessions'][session_id]
-    inst.last_access = time.monotonic()
+    inst.touch(session_id)
     url = 'http://%s:%d/websocket' % (inst.host, inst.port)
     ws_user = web.WebSocketResponse()
     try:
         async with aiohttp.ClientSession() as sess:
-            async with sess.ws_connect(url) as ws_app:
+            # Forward the client's cookies: pooled instances key their own
+            # per-user session off a cookie of their own.
+            headers = {}
+            if 'Cookie' in request.headers:
+                headers['Cookie'] = request.headers['Cookie']
+            async with sess.ws_connect(url, headers=headers) as ws_app:
                 await ws_user.prepare(request)
-                copy_coros = (copy_ws(inst, ws_app, ws_user),
-                              copy_ws(inst, ws_user, ws_app))
+                copy_coros = (copy_ws(inst, session_id, ws_app, ws_user),
+                              copy_ws(inst, session_id, ws_user, ws_app))
                 tasks = [asyncio.ensure_future(c) for c in copy_coros]
                 _, pending = await asyncio.wait(
                     tasks, return_when=asyncio.FIRST_COMPLETED)
@@ -161,13 +185,15 @@ async def proxy_ws(request):
                     fut.cancel()
                 return ws_user
     except aiohttp.ClientError:
-        logger.debug('Expiring session %s on %s', inst.session_id, inst.addr)
-        await send_reset(inst)
+        logger.debug('Expiring session %s on %s', session_id, inst.addr)
+        if inst.capacity == 1:
+            await send_reset(inst)
+        inst.sessions.pop(session_id, None)
         app['sessions'].pop(session_id, None)
         return ws_user
 
 
-async def copy_ws(inst, a, b):
+async def copy_ws(inst, session_id, a, b):
     """Copies WS messages b -> a until either side closes."""
     async for msg in b:
         try:
@@ -175,7 +201,7 @@ async def copy_ws(inst, a, b):
                 await a.send_str(msg.data)
             elif msg.type == aiohttp.WSMsgType.BINARY:
                 await a.send_bytes(msg.data)
-            inst.last_access = time.monotonic()
+            inst.touch(session_id)
         except (RuntimeError, ConnectionError):
             break
     await a.close()
@@ -189,13 +215,17 @@ async def register(request):
     addr, app_id = msg['addr'], msg['app_id']
     known = app['addrs'].get(addr)
     if known is None or known.app_id != app_id:
-        logger.info('AppUp %s (%s:%s)', addr, msg['host'], msg['port'])
+        logger.info('AppUp %s (%s:%s, capacity %s)', addr, msg['host'],
+                    msg['port'], msg.get('capacity', 1))
         if known is not None:
-            # Same address, new app instance: its old session is gone.
-            app['sessions'].pop(known.session_id, None)
-        inst = AppInstance(addr, msg['host'], int(msg['port']), app_id)
+            # Same address, new app instance: its old sessions are gone.
+            for sid in known.sessions:
+                app['sessions'].pop(sid, None)
+        inst = AppInstance(addr, msg['host'], int(msg['port']), app_id,
+                           capacity=msg.get('capacity', 1))
         app['addrs'][addr] = inst
-        await send_reset(inst)
+        if inst.capacity == 1:
+            await send_reset(inst)
     else:
         known.last_ping = time.monotonic()
     return web.json_response({'ok': True})
@@ -213,8 +243,8 @@ async def unregister(request):
     if addr_to_del:
         inst = app['addrs'].pop(addr_to_del)
         logger.info('AppDown %s', addr_to_del)
-        if inst.session_id in app['sessions']:
-            app['sessions'].pop(inst.session_id, None)
+        for sid in inst.sessions:
+            app['sessions'].pop(sid, None)
     return web.json_response({'ok': True})
 
 
@@ -226,11 +256,13 @@ async def expire_state(app, run_once=False):
         now = time.monotonic()
         addr_to_del = None
         for addr, inst in app['addrs'].items():
-            if inst.session_id is not None and inst.last_access < now - timeout:
-                logger.debug('Expiring session %s on %s', inst.session_id, addr)
-                await send_reset(inst)
-                app['sessions'].pop(inst.session_id, None)
-                inst.session_id = None
+            for sid, last_access in list(inst.sessions.items()):
+                if last_access < now - timeout:
+                    logger.debug('Expiring session %s on %s', sid, addr)
+                    if inst.capacity == 1:
+                        await send_reset(inst)
+                    inst.sessions.pop(sid, None)
+                    app['sessions'].pop(sid, None)
             if inst.last_ping < now - timeout:
                 addr_to_del = addr
         if addr_to_del:
@@ -259,8 +291,8 @@ def load_state(app):
     for data in state.get('addrs', []):
         inst = AppInstance.from_json(data)
         app['addrs'][inst.addr] = inst
-        if inst.session_id:
-            app['sessions'][inst.session_id] = inst
+        for sid in inst.sessions:
+            app['sessions'][sid] = inst
 
 
 async def startup_tasks(app):

@@ -307,14 +307,15 @@ def test_router_registry_and_expiry(tmp_path):
 
         # Session assignment: fills lanes, 503 when exhausted.
         for instance in app['addrs'].values():
-            instance.session_id = 'taken'
-        app['sessions']['taken'] = inst
+            instance.touch('taken-%s' % instance.app_id)
+        app['sessions']['taken-%s' % inst.app_id] = inst
 
         # Expiry: stale ping evicts the instance.
         import time
         for instance in app['addrs'].values():
             instance.last_ping = time.monotonic() - 999
-            instance.last_access = time.monotonic() - 999
+            for sid in instance.sessions:
+                instance.sessions[sid] = time.monotonic() - 999
         await router_mod.expire_state(app, run_once=True)
         assert len(app['addrs']) == 1  # one eviction per sweep
         await router_mod.expire_state(app, run_once=True)
@@ -402,4 +403,48 @@ def test_driver_fused_dispatch_emits_per_iteration():
         assert seen == [1, 2, 3, 4, 5, 6]
         await driver.in_queue.put(m.Shutdown())
         await task
+    run(body())
+
+
+def test_router_capacity_aware_assignment(tmp_path):
+    """A pooled instance registering with capacity N receives up to N
+    sessions from the router; capacity-1 instances stay single-session."""
+    from style_transfer2_tpu.serve import router as router_mod
+
+    async def body():
+        config = configparser.ConfigParser()
+        config['DEFAULT'] = {'router_session_timeout': '60'}
+        app = router_mod.init(config=config['DEFAULT'],
+                              state_file=str(tmp_path / 'state.json'))
+        app['addrs'] = {}
+        app['sessions'] = {}
+
+        control = router_mod.make_control_app(app)
+        client = TestClient(TestServer(control))
+        await client.start_server()
+        resp = await client.post('/__register', json={
+            'addr': 'http://127.0.0.1:9100/__control/reset',
+            'host': '127.0.0.1', 'port': 9100, 'app_id': 'pool1',
+            'capacity': 3})
+        assert resp.status == 200
+        inst = app['addrs']['http://127.0.0.1:9100/__control/reset']
+        assert inst.capacity == 3
+        assert inst.has_room()
+
+        # Three sessions fit, the fourth is rejected.
+        for k in range(3):
+            inst.touch('s%d' % k)
+            app['sessions']['s%d' % k] = inst
+        assert not inst.has_room()
+
+        # Persistence round-trips capacity and sessions.
+        router_mod.save_state(app)
+        app2 = {'addrs': {}, 'sessions': {},
+                'state_file': str(tmp_path / 'state.json')}
+        router_mod.load_state(app2)
+        inst2 = app2['addrs']['http://127.0.0.1:9100/__control/reset']
+        assert inst2.capacity == 3
+        assert set(inst2.sessions) == {'s0', 's1', 's2'}
+        assert set(app2['sessions']) == {'s0', 's1', 's2'}
+        await client.close()
     run(body())
