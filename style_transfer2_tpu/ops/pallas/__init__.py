@@ -7,6 +7,8 @@ contraction and the style gradient, fused into a single two-phase kernel
 leaves VMEM between its accumulation and its use in the gradient matmul).
 """
 
+from .preprocess import deprocess_pallas, preprocess_pallas
 from .style_kernel import fused_style_branch, gram_pallas
 
-__all__ = ['fused_style_branch', 'gram_pallas']
+__all__ = ['deprocess_pallas', 'fused_style_branch', 'gram_pallas',
+           'preprocess_pallas']

@@ -69,3 +69,20 @@ def test_engine_with_pallas_matches_plain(rng):
                 continue
             np.testing.assert_allclose(ta[key], tb[key], rtol=1e-5,
                                        err_msg=key)
+
+
+def test_preprocess_kernel_matches_jnp(rng):
+    from style_transfer2_tpu.models.vgg19 import deprocess, preprocess
+    from style_transfer2_tpu.ops.pallas import (deprocess_pallas,
+                                                preprocess_pallas)
+
+    img = rng.randint(0, 256, (37, 41, 3)).astype(np.uint8)
+    got = preprocess_pallas(img)
+    want = preprocess(img)
+    assert got.shape == want.shape == (1, 37, 41, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    back = deprocess_pallas(got)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(deprocess(want)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(back), np.float32(img), atol=1e-3)
