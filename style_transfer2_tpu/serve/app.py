@@ -83,7 +83,8 @@ async def upload(request):
         make_thumbnails(app)
         thumbnail_msg = dict(type='thumbnails', style=app['style_thumbnail'])
     elif msg['slot'] == 'content':
-        current_image = np.uint8(utils.resize_to_fit(image, int(msg['size'])))
+        current_image = np.uint8(utils.resize_to_fit(
+            image, _snap_size(app, msg['size'])))
         input_image = m.SetImages.RESAMPLE
         if app['i'] <= 1:
             input_image = np.uint8(np.random.uniform(
@@ -201,6 +202,17 @@ def get_params(app):
     return yaml.safe_dump(app['params'])
 
 
+def _snap_size(app, size):
+    """Optionally snaps a requested size to a multiple of `size_snap`:
+    every distinct (H, W) compiles a fresh XLA program (minutes over a
+    remote-compile tunnel), so production configs quantize user resizes to
+    keep the compile cache hot. Off by default — reference behavior."""
+    snap = app['config'].getint('size_snap', 0)
+    if snap <= 0:
+        return int(size)
+    return max(snap, int(round(int(size) / snap)) * snap)
+
+
 async def process_params(app, msg):
     error_string = ''
     try:
@@ -209,6 +221,7 @@ async def process_params(app, msg):
         max_size = app['config'].getint('max_size', 9999)
         if params['size'] > max_size:
             raise ValueError('Size is over %d' % max_size)
+        params['size'] = _snap_size(app, params['size'])
 
         if params['size'] != max(app['input_arr'].shape):
             new_size = utils.fit_into_square(app['input_arr'].shape[:2],

@@ -129,3 +129,16 @@ def test_structure_change_recomputes_content_features(rng):
     ref.weights = weights_b
     ref.optimizer.objective_changed()
     _compare(st, ref, 3)
+
+
+def test_nondefault_exponents(rng):
+    """tv_power/p_power away from the fast-path constants — the static
+    exponents in the spec must still match the oracle."""
+    weights = {'content': {'conv2_2': 0.1}, 'style': {'conv1_1': 1.0},
+               'deepdream': {}}
+    scalars = {'p': 10.0, 'p_power': 3.0, 'tv': 2.0, 'tv_power': 1.5}
+    st, ref = _pair(weights, rng)
+    st.set_weights(weights, scalars)
+    ref.scalar_params = scalars
+    ref.optimizer.objective_changed()
+    _compare(st, ref, 3)

@@ -448,3 +448,24 @@ def test_router_capacity_aware_assignment(tmp_path):
         assert set(app2['sessions']) == {'s0', 's1', 's2'}
         await client.close()
     run(body())
+
+
+def test_size_snap(tmp_path):
+    """size_snap quantizes user resizes so the compile cache stays hot."""
+    from style_transfer2_tpu.serve.app import _snap_size
+
+    class FakeApp(dict):
+        pass
+
+    import configparser
+    cp = configparser.ConfigParser()
+    cp['DEFAULT'] = {'size_snap': '64'}
+    app = FakeApp(config=cp['DEFAULT'])
+    assert _snap_size(app, 300) == 320
+    assert _snap_size(app, 64) == 64
+    assert _snap_size(app, 10) == 64   # never below one snap unit
+    assert _snap_size(app, '500') == 512
+
+    cp['DEFAULT'] = {'size_snap': '0'}
+    app = FakeApp(config=cp['DEFAULT'])
+    assert _snap_size(app, 300) == 300  # off = reference behavior
