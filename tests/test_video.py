@@ -117,3 +117,25 @@ def test_video_cli_end_to_end(tmp_path, rng):
     outs = sorted(out_dir.iterdir())
     assert len(outs) == 2
     assert all(Image.open(o).size == (24, 24) for o in outs)
+
+
+def test_video_pipeline_lbfgs(rng):
+    """The video loop with the default L-BFGS optimizer: per-frame
+    objective changes clear the history and re-prime cleanly."""
+    from style_transfer2_tpu.video import VideoStylizer
+
+    frames = _frames(3)
+    style = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    v = VideoStylizer(random_params(5), WEIGHTS, SCALARS, optimizer='lbfgs',
+                      step_size=1.0, first_iterations=4, iterations=3,
+                      temporal_weight=1e4, seed=2, steps_per_dispatch=2)
+    v.set_style(style)
+    outs = []
+    for f in frames:
+        img, trace = v.stylize_frame(f)
+        outs.append(img)
+        assert np.isfinite(trace['loss'])
+    assert v.st.t > 0
+    assert 'temporal_loss' in trace  # later frames carry the temporal term
+    for out in outs:
+        assert np.isfinite(out).all()
