@@ -328,7 +328,9 @@ def process_iterate(app, recv_msg):
     app['last_it_time'] = it_time
 
     step_size = 0
-    if recv_msg.i > 1 and recv_msg.image.shape == app['input_arr'].shape:
+    has_image = recv_msg.image is not None
+    if (has_image and recv_msg.i > 1
+            and recv_msg.image.shape == app['input_arr'].shape):
         diff = recv_msg.image - np.float32(app['input_arr'])
         step_size = float(np.sqrt(np.mean(diff ** 2)))
 
@@ -336,8 +338,9 @@ def process_iterate(app, recv_msg):
                 recv_msg.i, recv_msg.trace['loss'], step_size)
 
     if app['running'] and (not app['input_was_reset'] or recv_msg.i == 1):
-        app['input_was_reset'] = False
-        app['input_arr'] = recv_msg.image
+        if has_image:
+            app['input_was_reset'] = False
+            app['input_arr'] = recv_msg.image
         send_websocket(app, dict(type='iterateInfo', i=recv_msg.i,
                                  trace=dict(recv_msg.trace),
                                  stepSize=step_size,
@@ -454,7 +457,8 @@ async def monitor_worker(app):
                 precision=app['config'].get('precision', 'float32'),
                 use_pallas=app['config'].getboolean('pallas', False),
                 steps_per_dispatch=app['config'].getint(
-                    'steps_per_dispatch', 1))
+                    'steps_per_dispatch', 1),
+                image_every=app['config'].getint('image_every', 1))
             app['driver_task'] = asyncio.ensure_future(app['driver'].run())
             app['pm_task'].cancel()
             app['pm_task'] = asyncio.ensure_future(process_messages(app))
@@ -484,7 +488,8 @@ async def startup_tasks(app):
         app['model_params'],
         precision=app['config'].get('precision', 'float32'),
         use_pallas=app['config'].getboolean('pallas', False),
-        steps_per_dispatch=app['config'].getint('steps_per_dispatch', 1))
+        steps_per_dispatch=app['config'].getint('steps_per_dispatch', 1),
+        image_every=app['config'].getint('image_every', 1))
     app['driver_task'] = asyncio.ensure_future(app['driver'].run())
     app['pm_task'] = asyncio.ensure_future(process_messages(app))
 

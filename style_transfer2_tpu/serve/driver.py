@@ -28,13 +28,19 @@ class Driver:
     a pair of asyncio queues."""
 
     def __init__(self, params, precision='float32', placement=None,
-                 loop=None, use_pallas=False, steps_per_dispatch=1):
+                 loop=None, use_pallas=False, steps_per_dispatch=1,
+                 image_every=1):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
-        iterations (the reference guarantee is 1, the default)."""
+        iterations (the reference guarantee is 1, the default).
+        image_every > 1 fetches the iterate snapshot from the device only
+        every Nth iteration (Iterate.image is None in between) — the trace
+        still streams per iteration, and the browser polls /output at 4 Hz
+        regardless, but each skipped fetch saves a host round-trip."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        self.image_every = max(1, int(image_every))
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
                                       use_pallas=use_pallas)
@@ -70,8 +76,14 @@ class Driver:
                     if self.transfer.check_consistency():
                         k = self.steps_per_dispatch
                         if k == 1:
+                            # Iterate 1 always carries an image: the app's
+                            # input_was_reset guard clears only on an
+                            # image-bearing first iterate (app.py parity).
+                            t_next = self.transfer.t + 1
+                            fetch = (t_next == 1
+                                     or t_next % self.image_every == 0)
                             image, trace = await self._device(
-                                self.transfer.step)
+                                self.transfer.step, fetch)
                             await self.out_queue.put(
                                 m.Iterate(image, self.transfer.t, trace))
                         else:

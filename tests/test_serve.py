@@ -469,3 +469,38 @@ def test_size_snap(tmp_path):
     cp['DEFAULT'] = {'size_snap': '0'}
     app = FakeApp(config=cp['DEFAULT'])
     assert _snap_size(app, 300) == 300  # off = reference behavior
+
+
+def test_driver_image_throttling():
+    """image_every=3: iterate 1 and every 3rd iterate carry an image, the
+    rest stream trace-only; a reset still recovers (first post-reset iterate
+    has an image so the input_was_reset guard clears)."""
+    async def body():
+        driver = Driver(random_params(0), image_every=3)
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+        rng = np.random.RandomState(3)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+        carried = {}
+        for _ in range(6):
+            it = await _drain_until(driver, m.Iterate)
+            carried[it.i] = it.image is not None
+        assert carried[1] is True            # first iterate: always an image
+        assert carried[2] is False and carried[4] is False
+        assert carried[3] is True and carried[6] is True
+
+        # Reset mid-run: iterate 1 of the new run carries an image again.
+        await driver.in_queue.put(m.SetImages(input_image=imgs[0],
+                                              reset_state=True))
+        it = await _drain_until(driver, m.Iterate)
+        while it.i != 1:
+            it = await _drain_until(driver, m.Iterate)
+        assert it.image is not None
+        await driver.in_queue.put(m.Shutdown())
+        await task
+    run(body())
