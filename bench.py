@@ -29,9 +29,9 @@ sys.path.insert(0, str(HERE))
 sys.path.insert(0, str(HERE / 'tests'))
 
 SIZE = 512
-N_WARMUP = 12
-N_TIMED = 60
-CHUNK = 12
+N_WARMUP = 240
+N_TIMED = 960
+CHUNK = 240
 CPU_BASELINE_STEPS = 3
 
 WEIGHTS = {'content': {'conv4_2': 0.08},
@@ -138,9 +138,10 @@ def main():
     tpu_its = bench_tpu(params, content, style)
     cpu_its = bench_cpu_reference(params, content, style)
 
+    precision = os.environ.get('BENCH_PRECISION', 'float32')
     result = {
         'metric': 'optimization iterations/sec/chip at 512px '
-                  '(VGG-19 style transfer, L-BFGS, float32)',
+                  '(VGG-19 style transfer, L-BFGS, %s)' % precision,
         'value': round(tpu_its, 3),
         'unit': 'it/s',
         'vs_baseline': round(tpu_its / cpu_its, 2),

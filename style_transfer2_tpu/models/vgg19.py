@@ -100,16 +100,21 @@ def _max_pool_ceil(x):
     Caffe computes out = ceil((H - k)/s) + 1 and clips the last window to the
     input; padding the bottom/right with -inf to 2*ceil(H/2) reproduces that
     exactly (max over the clipped window).
+
+    Implemented as reshape + max over the 2x2 sub-axes rather than
+    reduce_window: non-overlapping windows make them equivalent, and the
+    reduce-max backward lowers to cheap elementwise fusions instead of
+    select_and_scatter (measured ~1.6 ms/step of the 512px backward).
     """
-    h, w = x.shape[1], x.shape[2]
+    n, h, w, c = x.shape
     pad_h = -h % 2
     pad_w = -w % 2
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-    )
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    constant_values=-jnp.inf)
+    h2, w2 = (h + pad_h) // 2, (w + pad_w) // 2
+    x = x.reshape(n, h2, 2, w2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 @functools.partial(jax.jit, static_argnames=('layers', 'precision',
