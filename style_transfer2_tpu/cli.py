@@ -67,7 +67,7 @@ def parse_args(argv=None):
     p.add_argument('--mesh', default='',
                    help="spatial sharding mesh for high-res (e.g. '4' or "
                         "'auto'); empty = single device")
-    p.add_argument('--steps-per-dispatch', type=int, default=25,
+    p.add_argument('--steps-per-dispatch', type=int, default=60,
                    help='iterations fused per device dispatch')
     p.add_argument('--trace-csv', default=None, help='write the trace here')
     p.add_argument('--checkpoint', default=None,
