@@ -62,7 +62,13 @@ class BatchedStyleTransfer:
         self.active = [False] * self.max_lanes
         self.running = [False] * self.max_lanes
         self.t = [0] * self.max_lanes
-        self._needs_init = False  # L-BFGS priming pending (any lane changed)
+        # Per-lane L-BFGS priming flag: lane i's (loss, grad) cache is stale
+        # (new job or objective change) and must be re-evaluated before its
+        # next step. Per-lane — an engine-wide flag loses the mark for a
+        # PAUSED lane when a step primes only the running ones, and the lane
+        # would resume with a zero gradient (reference semantics:
+        # optimizers.py:62-65,121-125 always evaluate before first use).
+        self._needs_prime = [False] * self.max_lanes
 
         zero_img = jnp.zeros((1,) + self.hw + (3,), jnp.float32)
         mod = OPTIMIZERS[optimizer]
@@ -163,13 +169,14 @@ class BatchedStyleTransfer:
         self.running[lane] = True
         self.t[lane] = 0
         if self.optimizer_name == 'lbfgs':
-            self._needs_init = True
+            self._needs_prime[lane] = True
         return lane
 
     def remove_job(self, lane):
         self.active[lane] = False
         self.running[lane] = False
         self.t[lane] = 0
+        self._needs_prime[lane] = False
 
     def set_running(self, lane, running):
         """Pauses/resumes one lane; paused lanes keep their optimizer state
@@ -212,7 +219,27 @@ class BatchedStyleTransfer:
         lane_state = mod.objective_changed(lane_state)
         self.states = self._place(_lane_set(self.states, lane, lane_state))
         if self.optimizer_name == 'lbfgs':
-            self._needs_init = True
+            self._needs_prime[lane] = True
+
+    def _prime_pending(self, eval_fn):
+        """Re-evaluates (loss, grad) for running lanes whose cache is stale,
+        masked so already-primed and paused lanes are untouched. Paused
+        stale lanes keep their flag until they actually resume."""
+        if eval_fn is None:
+            return
+        prime = [p and r and a for p, r, a in
+                 zip(self._needs_prime, self.running, self.active)]
+        if not any(prime):
+            return
+        prime_mask = jnp.asarray(prime)
+        self.states, norms, _ = eval_fn(self.params, self.states,
+                                        self.inputs, prime_mask)
+        inputs = dict(self.inputs)
+        inputs['norms_vals'], inputs['norms_set'] = norms
+        self.inputs = inputs
+        for lane, primed in enumerate(prime):
+            if primed:
+                self._needs_prime[lane] = False
 
     # -- stepping -------------------------------------------------------------
 
@@ -223,13 +250,7 @@ class BatchedStyleTransfer:
         step_fn, eval_fn = build_masked_batched_step_fns(
             self.spec, self.optimizer_name, self.precision)
         mask = self._run_mask()
-        if self._needs_init and eval_fn is not None:
-            self.states, norms, _ = eval_fn(self.params, self.states,
-                                            self.inputs, mask)
-            inputs = dict(self.inputs)
-            inputs['norms_vals'], inputs['norms_set'] = norms
-            self.inputs = inputs
-            self._needs_init = False
+        self._prime_pending(eval_fn)
 
         self.states, norms, traces = step_fn(
             self.params, self.states, self.inputs, self.step_sizes, mask)
@@ -259,13 +280,7 @@ class BatchedStyleTransfer:
         _, eval_fn = build_masked_batched_step_fns(
             self.spec, self.optimizer_name, self.precision)
         mask = self._run_mask()
-        if self._needs_init and eval_fn is not None:
-            self.states, norms, _ = eval_fn(self.params, self.states,
-                                            self.inputs, mask)
-            inputs = dict(self.inputs)
-            inputs['norms_vals'], inputs['norms_set'] = norms
-            self.inputs = inputs
-            self._needs_init = False
+        self._prime_pending(eval_fn)
 
         scan_fn = build_masked_batched_scan_fn(
             self.spec, self.optimizer_name, self.precision, n_steps)

@@ -170,3 +170,59 @@ def test_run_steps_all_respects_pause():
     assert 0 not in traces and 1 in traces
     assert bt.t == [0, 2]
     np.testing.assert_array_equal(bt.lane_image(0), img0_before)
+
+
+def test_paused_lane_weight_change_reprimes_on_resume():
+    """Regression: L-BFGS priming must be PER-LANE. A lane whose objective
+    changes while paused must re-prime its (loss, grad) cache when it
+    resumes — not inherit a prime pass that ran while it was masked out
+    (reference semantics: optimizers.py:62-65,121-125 evaluate before any
+    step whenever objective_changed)."""
+    params = random_params(6)
+    j0, j1 = _job(0), _job(1)
+    new_w = {'content': {'conv2_2': 0.4},
+             'style': {'conv1_1': 1.5, 'conv2_1': 0.5}, 'deepdream': {}}
+
+    bt = BatchedStyleTransfer(params, WEIGHTS, SCALARS, HW, max_lanes=2,
+                              optimizer='lbfgs')
+    l0 = bt.add_job(j0['content'], j0['style'], j0['input'])
+    l1 = bt.add_job(j1['content'], j1['style'], j1['input'])
+    for _ in range(2):
+        bt.step_all()
+    # Pause lane 1, change its weights (stale cache), step lane 0 a few
+    # times (this used to clear the engine-wide priming flag), resume.
+    bt.set_running(l1, False)
+    bt.set_lane_weights(l1, new_w, SCALARS)
+    assert bt._needs_prime[l1] and not bt._needs_prime[l0]
+    for _ in range(2):
+        traces = bt.step_all()
+        assert l1 not in traces
+    assert bt._needs_prime[l1], 'paused lane lost its priming mark'
+    bt.set_running(l1, True)
+    resumed = [bt.step_all()[l1] for _ in range(2)]
+
+    # Never-paused reference for lane 1: same job, 2 steps, weight change,
+    # 2 more steps on the single-lane engine.
+    st = StyleTransfer(params)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer('lbfgs')
+    st.set_step_size(1.0)
+    st.set_content(j1['content'])
+    st.set_style(j1['style'])
+    st.set_input(j1['input'])
+    assert st.start()
+    for _ in range(2):
+        st.step()
+    st.set_weights(new_w, SCALARS)
+    expected = []
+    for _ in range(2):
+        _, trace = st.step()
+        expected.append(trace)
+
+    for got, ref in zip(resumed, expected):
+        for key in ref:
+            if key == 'time':
+                continue
+            np.testing.assert_allclose(
+                got[key], ref[key], rtol=5e-4, atol=1e-5,
+                err_msg='post-resume trace key %s' % key)
