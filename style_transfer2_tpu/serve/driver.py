@@ -29,18 +29,27 @@ class Driver:
 
     def __init__(self, params, precision='float32', placement=None,
                  loop=None, use_pallas=False, steps_per_dispatch=1,
-                 image_every=1):
+                 image_every=1, adaptive_max_steps=0):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
         iterations (the reference guarantee is 1, the default).
         image_every > 1 fetches the iterate snapshot from the device only
         every Nth iteration (Iterate.image is None in between) — the trace
         still streams per iteration, and the browser polls /output at 4 Hz
-        regardless, but each skipped fetch saves a host round-trip."""
+        regardless, but each skipped fetch saves a host round-trip.
+        adaptive_max_steps > 1 enables ADAPTIVE fusing: a dispatch right
+        after any control message runs a single step (a user tweak shows
+        its effect within one iteration, the reference's latency
+        guarantee), and once the control queue goes quiet, dispatches fuse
+        adaptive_max_steps iterations each — amortizing the ~0.5 s tunnel
+        dispatch cost that otherwise dominates interactive serving. Only
+        two programs compile per resolution (K=1 and K=max)."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.image_every = max(1, int(image_every))
+        self.adaptive_max_steps = max(0, int(adaptive_max_steps))
+        self._recent_control = False
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
                                       use_pallas=use_pallas)
@@ -74,7 +83,14 @@ class Driver:
                     if not self.transfer.is_running:
                         continue
                     if self.transfer.check_consistency():
-                        k = self.steps_per_dispatch
+                        if self.adaptive_max_steps > 1:
+                            # One-step dispatch right after control traffic;
+                            # full fused chunks once the queue is quiet.
+                            k = 1 if self._recent_control \
+                                else self.adaptive_max_steps
+                            self._recent_control = False
+                        else:
+                            k = self.steps_per_dispatch
                         if k == 1:
                             # Iterate 1 always carries an image: the app's
                             # input_was_reset guard clears only on an
@@ -113,6 +129,7 @@ class Driver:
     async def process_message(self, msg):
         """Dispatches one message; returns True on Shutdown
         (reference worker.py:366-409)."""
+        self._recent_control = True
         t = self.transfer
 
         def is_image(obj):
