@@ -117,9 +117,17 @@ class BatchedStyleTransfer:
         return None
 
     def add_job(self, content, style, input_image, weights=None,
-                scalar_params=None, step_size=None, lane=None):
+                scalar_params=None, step_size=None, lane=None,
+                lane_state=None, t=0):
         """Adds a job; returns its lane id. Images are HxWx3 RGB arrays at
-        this bucket's resolution."""
+        this bucket's resolution.
+
+        lane_state, if given, is a pre-built per-lane optimizer pytree at
+        this bucket's resolution (e.g. warm-start state resampled from
+        another bucket, the batched analog of the reference's
+        optimizers.py:29-40 resample); input_image is then ignored in
+        favor of the state's iterate. t carries the lane's iterate counter
+        across a migration."""
         if lane is None:
             lane = self.free_lane()
         if lane is None:
@@ -136,7 +144,10 @@ class BatchedStyleTransfer:
 
         content_x = vgg19.preprocess(content)
         style_x = vgg19.preprocess(style)
-        input_x = vgg19.preprocess(input_image)
+        if lane_state is not None:
+            input_x = lane_state['x']
+        else:
+            input_x = vgg19.preprocess(input_image)
         if content_x.shape[1:3] != self.hw or input_x.shape[1:3] != self.hw:
             raise ValueError('job resolution does not match bucket %s'
                              % (self.hw,))
@@ -154,10 +165,11 @@ class BatchedStyleTransfer:
             'norms_vals': {k: jnp.float32(0.0) for k in self.spec.norm_keys},
             'norms_set': {k: jnp.bool_(False) for k in self.spec.norm_keys},
         }
-        mod = OPTIMIZERS[self.optimizer_name]
-        lane_state = (mod.init(input_x, self.n_corr)
-                      if self.optimizer_name == 'lbfgs'
-                      else mod.init(input_x))
+        if lane_state is None:
+            mod = OPTIMIZERS[self.optimizer_name]
+            lane_state = (mod.init(input_x, self.n_corr)
+                          if self.optimizer_name == 'lbfgs'
+                          else mod.init(input_x))
 
         self.inputs = self._place(_lane_set(self.inputs, lane, lane_inputs))
         self.states = self._place(_lane_set(self.states, lane, lane_state))
@@ -167,10 +179,15 @@ class BatchedStyleTransfer:
             self.step_sizes.at[lane].set(float(step_size)))
         self.active[lane] = True
         self.running[lane] = True
-        self.t[lane] = 0
+        self.t[lane] = int(t)
         if self.optimizer_name == 'lbfgs':
             self._needs_prime[lane] = True
         return lane
+
+    def lane_state(self, lane):
+        """Extracts one lane's optimizer pytree (for warm-start migration
+        to another resolution bucket)."""
+        return jax.tree_util.tree_map(lambda buf: buf[lane], self.states)
 
     def remove_job(self, lane):
         self.active[lane] = False

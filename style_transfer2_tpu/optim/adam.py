@@ -96,8 +96,3 @@ def resample(state, hw, new_x=None):
         'g2_items': state['g2_items'],
         't': state['t'],
     }
-
-
-def needs_initial_eval(state):
-    """Adam needs no priming evaluation."""
-    return False

@@ -162,9 +162,3 @@ def resample(state, hw, new_x=None):
     else:
         x = resize_nhwc(state['x'], tuple(hw), 'lanczos3')
     return init(x, state['sk'].shape[0])
-
-
-def needs_initial_eval(state):
-    """True when the (loss, grad) cache is unprimed. Tracked host-side by the
-    engine (the pytree itself carries no validity flag)."""
-    return True

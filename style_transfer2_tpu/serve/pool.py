@@ -1,34 +1,37 @@
 #!/usr/bin/env python3
-"""Pooled multi-session serving: many users on ONE device program.
+"""Pooled multi-session serving tier: many users on ONE device program.
 
-The reference scales to N users with N (app + worker) process pairs behind
-the router — one whole chip-equivalent per user. This tier is the TPU-native
-collapse of that design (SURVEY.md §2 "sessions -> batch lanes"): a single
-aiohttp app hosts many cookie-identified sessions, each mapped to a lane of
-a BatchedStyleTransfer bucket; one vmapped step advances every running
-session per dispatch, so concurrent users share the chip instead of queueing
-for it.
+The reference scales to N users with N (app + worker) OS-process pairs
+behind the router — one whole chip-equivalent per user (router.py:73-83).
+This tier is the TPU-native collapse of that design (SURVEY.md §2
+"sessions -> batch lanes"): a single aiohttp app hosts many
+cookie-identified sessions, each mapped to a lane of a
+BatchedStyleTransfer bucket; one vmapped step advances every running
+session per dispatch, so concurrent users share the chip instead of
+queueing for it.
 
-Scope (bucketed batching): all sessions share the bucket's resolution,
-objective structure, and optimizer; per-session images, weight VALUES,
-tv/p scalars, step size, and pause state are independent. Structure-changing
-edits are rejected with a readable error (run the classic per-session app
-for fully heterogeneous sessions).
+Buckets are keyed by resolution: sessions of one bucket share its (H, W),
+objective structure, and optimizer. A user size change migrates the
+session to the target bucket with WARM-STARTED state — the iterate and
+optimizer moments resample exactly like the reference's mid-run resize
+(optimizers.py:29-40) — so the pool supports the reference's
+resolution-change flow. Buckets are created lazily (bounded by the
+pool_sizes config) and dropped when they empty. Objective-structure and
+optimizer changes remain bucket-fixed and are rejected with a readable
+error (run the single-session app for fully heterogeneous sessions).
 
-HTTP/WS protocol: identical to serve/app.py (and the reference), with a
-session cookie selecting the lane.
+Protocol and session logic are shared with the single-session tier via
+serve/session.py; this module supplies the lane mapping, the batched
+stepping task, bucket migration, and session expiry.
 """
 
 import asyncio
-import binascii
-import io
-import json
 import logging
+import io
 import os
 import time
 from pathlib import Path
 
-import aiohttp
 from aiohttp import web
 import numpy as np
 from PIL import Image
@@ -38,6 +41,8 @@ from .. import utils
 from ..engine.batched import BatchedStyleTransfer
 from ..engine.objective import ObjectiveSpec
 from ..models.weights import resolve_params
+from ..optim import OPTIMIZERS
+from . import session as sn
 from .error_pages import error_pages
 from .render import add_static_routes, render
 
@@ -48,461 +53,465 @@ logger = logging.getLogger('pool')
 SESSION_COOKIE = 'pool_session'
 
 
-class Session:
-    """Host-side state of one user session (one lane)."""
+class PoolSession(sn.Session):
+    """A Session bound to one batch lane of one resolution bucket, with
+    idle-expiry bookkeeping."""
 
-    def __init__(self, session_id, lane, app):
+    def __init__(self, session_id, lane, bucket_hw):
+        super().__init__()
         self.session_id = session_id
         self.lane = lane
-        self.wss = []
-        self.running = False
-        self.input_arr = None
-        self.input_was_reset = False
-        self.i = 0
-        self.last_it_time = 0.0
-        self.its_per_s = utils.DecayingMean()
-        self.params = {}
-        self.content_image = None
-        self.style_image = None
-        self.content_thumbnail = None
-        self.style_thumbnail = None
+        self.bucket_hw = bucket_hw
         self.last_access = time.monotonic()
 
-    def send(self, msg):
-        data = json.dumps(msg)
-        for ws in list(self.wss):
-            async def _send(ws=ws):
-                try:
-                    await ws.send_str(data)
-                except (RuntimeError, ConnectionError,
-                        asyncio.CancelledError):
-                    pass
-            asyncio.ensure_future(_send())
+    def touch(self):
+        self.last_access = time.monotonic()
 
 
-def _thumb(pil_image, size=300):
-    small = utils.resize_to_fit(pil_image, size, scale_up=False)
-    buf = io.BytesIO()
-    small.save(buf, format='jpeg', quality=85)
-    return ('data:image/jpeg;base64,'
-            + binascii.b2a_base64(buf.getvalue()).decode())
+class LaneActions(sn.EngineActions):
+    """EngineActions for one pooled session: commands map to masked lane
+    operations on its bucket's batched engine."""
 
+    def __init__(self, tier, sess):
+        self.tier = tier
+        self.sess = sess
 
-def _get_session(request, create=True):
-    app = request.app
-    sid = request.cookies.get(SESSION_COOKIE)
-    if sid and sid in app['sessions']:
-        sess = app['sessions'][sid]
-        sess.last_access = time.monotonic()
-        return sess, False
-    if not create:
-        raise web.HTTPForbidden()
-    engine = app['engine']
-    lane = engine.free_lane()
-    if lane is None:
-        raise web.HTTPServiceUnavailable()
-    sid = os.urandom(8).hex()
-    sess = Session(sid, lane, app)
-    _init_session(app, sess)
-    app['sessions'][sid] = sess
-    logger.info('new session %s on lane %d', sid, lane)
-    return sess, True
+    @property
+    def engine(self):
+        return self.tier.engine_of(self.sess)
 
+    async def start(self):
+        self.engine.set_running(self.sess.lane, True)
+        self.tier.wake.set()
 
-def _init_session(app, sess):
-    """Seeds a session with the configured demo job (reference
-    app.py:231-262)."""
-    config = app['config']
-    engine = app['engine']
-    hw = app['bucket_hw']
-    content = Image.open(str(ROOT_DIR / config['initial_content'])).convert('RGB')
-    style = Image.open(str(ROOT_DIR / config['initial_style'])).convert('RGB')
-    sess.content_image = content
-    sess.style_image = style
-    sess.content_thumbnail = _thumb(content)
-    sess.style_thumbnail = _thumb(style)
-    sess.params = {
-        'optimizer': engine.optimizer_name,
-        'optimizer_step_size': float(np.asarray(engine.step_sizes[sess.lane])),
-        'size': max(hw),
-        'weights': [dict(engine.default_weights),
-                    dict(engine.default_scalars)],
-    }
-    content_arr = np.uint8(content.resize(hw[::-1], Image.LANCZOS))
-    style_arr = np.uint8(utils.resize_to_fit(style, max(hw)))
-    style_arr = np.uint8(Image.fromarray(style_arr).resize(hw[::-1],
-                                                           Image.LANCZOS))
-    rng = np.random.RandomState()
-    sess.input_arr = np.uint8(rng.uniform(0, 255, hw + (3,)))
-    engine.add_job(content_arr, style_arr, sess.input_arr, lane=sess.lane)
-    engine.set_running(sess.lane, False)
+    async def pause(self):
+        self.engine.set_running(self.sess.lane, False)
 
+    async def reset_input(self):
+        await self.tier.engine_op(self.tier.requeue, self.sess,
+                                  reset_input=True)
 
-def _release_session(app, sess):
-    app['engine'].remove_job(sess.lane)
-    app['sessions'].pop(sess.session_id, None)
-    logger.info('released session %s (lane %d)', sess.session_id, sess.lane)
+    async def restart_engine(self):
+        # There is no per-session worker to restart; re-seeding the lane is
+        # the closest equivalent, and the state echo keeps the UI honest.
+        await self.tier.engine_op(self.tier.requeue, self.sess,
+                                  reset_input=True)
+        self.sess.push_state()
 
+    async def change_size(self, size):
+        size = int(size)
+        if size == max(self.sess.bucket_hw):
+            return size
+        self.tier.check_size_allowed(size)
+        await self.tier.engine_op(self.tier.migrate, self.sess, size)
+        if self.tier.engine_of(self.sess).running[self.sess.lane]:
+            self.tier.wake.set()
+        h, w = self.sess.bucket_hw
+        self.sess.push('newSize', height=h, width=w)
+        return size
 
-# -- HTTP handlers -------------------------------------------------------------
-
-async def root(request):
-    sess, created = _get_session(request)
-    resp = render('index.html', {
-        'max_size': max(request.app['bucket_hw']),
-        'ga_tracking_code': request.app['config'].get('ga_tracking_code', ''),
-        'top': '',
-    })
-    if created:
-        resp.set_cookie(SESSION_COOKIE, sess.session_id)
-    return resp
-
-
-async def output_image(request):
-    sess, _ = _get_session(request, create=False)
-    buf = io.BytesIO()
-    utils.as_pil(sess.input_arr).save(buf, format='png')
-    return web.Response(content_type='image/png', body=buf.getvalue(),
-                        headers={'Cache-Control': 'no-cache'})
-
-
-async def upload(request):
-    app = request.app
-    sess, _ = _get_session(request, create=False)
-    engine = app['engine']
-    hw = app['bucket_hw']
-    msg = await request.post()
-    data = binascii.a2b_base64(msg['data'].partition(',')[2])
-    image = Image.open(io.BytesIO(data)).convert('RGB')
-    arr = np.uint8(image.resize(hw[::-1], Image.LANCZOS))
-
-    slot = msg['slot']
-    if slot == 'content':
-        sess.content_image = image
-        sess.content_thumbnail = _thumb(image)
-        sess.its_per_s.clear()
-        _requeue(app, sess, content=arr)
-        sess.send(dict(type='thumbnails', content=sess.content_thumbnail))
-    elif slot == 'style':
-        sess.style_image = image
-        sess.style_thumbnail = _thumb(image)
-        _requeue(app, sess, style=arr)
-        sess.send(dict(type='thumbnails', style=sess.style_thumbnail))
-    elif slot == 'input':
-        sess.input_arr = arr
-        _requeue(app, sess, input_arr=arr, keep_input=True)
-    else:
-        raise web.HTTPBadRequest(reason='unknown slot')
-    return web.Response()
-
-
-def _requeue(app, sess, content=None, style=None, input_arr=None,
-             keep_input=False, reset_input=False):
-    """Re-adds the session's job to its lane with updated slots (the batched
-    engine re-initializes the lane's optimizer state; images default to the
-    current session state)."""
-    engine = app['engine']
-    hw = app['bucket_hw']
-    was_running = engine.running[sess.lane]
-    content = content if content is not None else np.uint8(
-        sess.content_image.resize(hw[::-1], Image.LANCZOS))
-    style = style if style is not None else np.uint8(
-        sess.style_image.resize(hw[::-1], Image.LANCZOS))
-    if input_arr is None:
-        if keep_input and sess.input_arr is not None and not reset_input:
-            input_arr = sess.input_arr
-        else:
-            input_arr = np.uint8(np.random.uniform(0, 255, hw + (3,)))
-            sess.input_arr = input_arr
-            sess.input_was_reset = True
-    weights, scalars = sess.params['weights']
-    engine.remove_job(sess.lane)
-    engine.add_job(content, style, input_arr, weights=weights,
-                   scalar_params=scalars,
-                   step_size=sess.params.get('optimizer_step_size'),
-                   lane=sess.lane)
-    sess.i = 0
-    engine.set_running(sess.lane, was_running)
-
-
-async def websocket(request):
-    app = request.app
-    sess, _ = _get_session(request, create=False)
-    ws = web.WebSocketResponse()
-    await ws.prepare(request)
-    sess.wss.append(ws)
-
-    sess.send(dict(type='workerReady'))
-    sess.send(dict(type='newParams', params=yaml.safe_dump(sess.params)))
-    h, w = app['bucket_hw']
-    sess.send(dict(type='newSize', height=h, width=w))
-    sess.send(dict(type='state', running=sess.running))
-    sess.send(dict(type='thumbnails', content=sess.content_thumbnail,
-                   style=sess.style_thumbnail))
-
-    engine = app['engine']
-    try:
-        async for msg in ws:
-            if msg.type != aiohttp.WSMsgType.TEXT:
-                break
-            sess.last_access = time.monotonic()
-            msg = json.loads(msg.data)
-            msg_type = msg.get('type')
-            if msg_type == 'applyParams':
-                process_params(app, sess, msg)
-            elif msg_type == 'pause':
-                engine.set_running(sess.lane, False)
-                sess.running = False
-                sess.send(dict(type='state', running=False))
-            elif msg_type == 'reset':
-                _requeue(app, sess, reset_input=True)
-            elif msg_type == 'restartWorker':
-                # Pool mode has no per-session worker; a reset of the lane is
-                # the closest equivalent.
-                _requeue(app, sess, reset_input=True)
-                sess.send(dict(type='state', running=sess.running))
-            elif msg_type == 'start':
-                engine.set_running(sess.lane, True)
-                sess.running = True
-                sess.send(dict(type='state', running=True))
-                app['wake'].set()
-            else:
-                logger.error('unknown WS message type %r', msg_type)
-    finally:
-        sess.wss.remove(ws)
-    return ws
-
-
-def process_params(app, sess, msg):
-    """applyParams for a pooled session: weight VALUES, scalars, and step
-    size apply per lane; size/optimizer/structure changes are bucket-fixed
-    and rejected with a readable error."""
-    engine = app['engine']
-    error_string = ''
-    try:
-        params = yaml.safe_load(msg['params'])
-        if int(params['size']) != max(app['bucket_hw']):
-            raise ValueError(
-                'This pooled instance serves a fixed resolution of %d px; '
-                'use the dedicated app for resolution changes.'
-                % max(app['bucket_hw']))
-        if params['optimizer'] != engine.optimizer_name:
+    async def set_optimizer(self, name, step_size):
+        if name != self.engine.optimizer_name:
             raise ValueError(
                 "This pooled instance runs the '%s' optimizer for all "
-                'sessions.' % engine.optimizer_name)
+                'sessions.' % self.engine.optimizer_name)
+        await self.tier.engine_op(self.engine.set_step_size,
+                                  self.sess.lane, float(step_size))
 
-        weights = {}
-        for loss_name in ('content', 'style', 'deepdream'):
-            weights[loss_name] = {}
-            for layer, weight in params['weights'][0][loss_name].items():
-                if layer not in app['layers']:
-                    raise ValueError(
-                        'Invalid layer name. Valid layer names are: %s.'
-                        % ', '.join(app['layers']))
-                weights[loss_name][layer] = float(weight)
-        scalars = {k: float(params['weights'][1][k])
-                   for k in ('tv', 'tv_power', 'p', 'p_power')}
-
-        spec_check = ObjectiveSpec.from_weights(weights, scalars)
-        if spec_check != engine.spec:
+    async def set_weights(self, weights, scalars):
+        if ObjectiveSpec.from_weights(weights, scalars) != self.engine.spec:
             raise ValueError(
                 'This pooled instance serves a fixed objective structure '
                 '(which layers carry which losses); weight values may '
                 'change, structure may not.')
-
-        engine.set_lane_weights(sess.lane, weights, scalars)
-        engine.set_step_size(sess.lane, float(params['optimizer_step_size']))
-        sess.params = params
-    except KeyError as err:
-        error_string = (type(err).__name__ + ': ' + str(err) +
-                        ": All required parameters were not found. Please "
-                        "don't delete parameters.")
-    except Exception as err:
-        error_string = type(err).__name__ + ': ' + str(err)
-    finally:
-        sess.send(dict(type='newParams', params=yaml.safe_dump(sess.params),
-                       errorString=error_string))
+        await self.tier.engine_op(self.engine.set_lane_weights,
+                                  self.sess.lane, weights, scalars)
 
 
-# -- The stepping task ----------------------------------------------------------
+class PooledTier:
+    """The pool: resolution buckets of BatchedStyleTransfer lanes plus a
+    cookie->(bucket, lane) session table."""
 
-async def pool_driver(app):
-    """Steps every running lane with one batched dispatch per tick (K fused
-    steps when pool_steps_per_dispatch > 1), then fans Iterate bookkeeping
-    out to the sessions. The image is snapshotted once per tick; each fused
-    step still gets its own iterateInfo trace."""
-    engine = app['engine']
-    k = app['config'].getint('pool_steps_per_dispatch', 1)
-    loop = asyncio.get_event_loop()
-    while True:
-        if not engine.any_running():
-            app['wake'].clear()
-            await app['wake'].wait()
-            continue
-        lane_traces = await loop.run_in_executor(
-            app['executor'], engine.run_steps_all, k)
-        now = time.perf_counter()
-        by_lane = {s.lane: s for s in app['sessions'].values()}
-        for lane, traces in lane_traces.items():
-            sess = by_lane.get(lane)
-            if sess is None:
-                continue
-            image = await loop.run_in_executor(
-                app['executor'], engine.lane_image, lane)
-            i = engine.t[lane]
-            if i == len(traces):
-                sess.its_per_s.clear()
+    def __init__(self, config, debug_level=0):
+        self.config = config
+        self.debug_level = debug_level
+        self.engines = {}            # bucket hw -> BatchedStyleTransfer
+        self.default_hw = None
+        self.base_hw = None          # aspect prototype for hw_for()
+        self.model_params = None
+        self.weights_doc = None
+        self.placement = None
+        self.layers = []
+        self.sessions = {}
+        self.wake = None
+        self.tick_lock = None
+        self.executor = None
+        self.tasks = []
+        self.instance_id = os.urandom(8).hex()
+        self.router = None
+
+    # -- buckets ------------------------------------------------------------
+
+    def hw_for(self, size):
+        """The bucket grid for a requested size: the initial content's
+        aspect scaled so max(H, W) == size (every lane of one bucket must
+        share (H, W) exactly)."""
+        return utils.fit_into_square(self.base_hw, int(size), scale_up=True)
+
+    def allowed_sizes(self):
+        """Sizes buckets may exist at: the pool_sizes config list, or any
+        size up to max_size when unset (each size compiles fresh programs,
+        so production configs pin the list)."""
+        raw = self.config.get('pool_sizes', '')
+        if not raw:
+            return None
+        return sorted({int(s) for s in raw.replace(',', ' ').split()})
+
+    def check_size_allowed(self, size):
+        allowed = self.allowed_sizes()
+        if allowed is not None and size not in allowed:
+            raise sn.SizeRejected(
+                'This pooled instance serves these resolutions: %s.'
+                % ', '.join(str(s) for s in allowed))
+        if size > self.config.getint('max_size', 9999):
+            raise sn.SizeRejected(
+                'Size is over %d' % self.config.getint('max_size', 9999))
+
+    def bucket_for(self, size):
+        """The engine serving `size`, created lazily."""
+        hw = self.hw_for(size)
+        if hw not in self.engines:
+            self.engines[hw] = BatchedStyleTransfer(
+                self.model_params, self.weights_doc[0], self.weights_doc[1],
+                hw, max_lanes=self.config.getint('pool_lanes', 4),
+                optimizer=self.config.get('pool_optimizer', 'adam'),
+                precision=self.config.get('precision', 'float32'),
+                placement=self.placement)
+            logger.info('created bucket %s', hw)
+        return self.engines[hw]
+
+    def engine_of(self, sess):
+        return self.engines[sess.bucket_hw]
+
+    async def engine_op(self, fn, *args, **kwargs):
+        """Runs an engine/session mutation atomically with respect to the
+        stepping task: the tick lock excludes an in-flight dispatch+fan-out
+        (whose completion writes engine state back and whose fan-out reads
+        session bindings), and the single executor thread keeps all device
+        work serialized."""
+        import functools
+        async with self.tick_lock:
+            loop = asyncio.get_event_loop()
+            return await loop.run_in_executor(
+                self.executor, functools.partial(fn, *args, **kwargs))
+
+    def _drop_empty_buckets(self):
+        for hw, engine in list(self.engines.items()):
+            if hw != self.default_hw and not any(engine.active):
+                del self.engines[hw]
+                logger.info('dropped empty bucket %s', hw)
+
+    # -- session table --------------------------------------------------------
+
+    async def lookup(self, request, create=True):
+        sid = request.cookies.get(SESSION_COOKIE)
+        if sid and sid in self.sessions:
+            sess = self.sessions[sid]
+            sess.touch()
+            return sess, False
+        if not create:
+            raise web.HTTPForbidden()
+        engine = self.bucket_for(max(self.default_hw))
+        lane = engine.free_lane()
+        if lane is None:
+            raise web.HTTPServiceUnavailable()
+        sid = os.urandom(8).hex()
+        sess = PoolSession(sid, lane, self.default_hw)
+        engine.active[lane] = True   # claim before yielding (running stays
+        self.sessions[sid] = sess    # False until the session starts)
+        await self.engine_op(self.seed_session, sess)
+        logger.info('new session %s on lane %d', sid, lane)
+        return sess, True
+
+    def seed_session(self, sess):
+        """Seeds a fresh session with the configured demo job, paused."""
+        engine = self.engine_of(sess)
+        sess.load_defaults(self.config, ROOT_DIR,
+                           optimizer=engine.optimizer_name,
+                           step_size=float(np.asarray(
+                               engine.step_sizes[sess.lane])))
+        sess.params['size'] = max(sess.bucket_hw)
+        sess.params['weights'] = [dict(engine.default_weights),
+                                  dict(engine.default_scalars)]
+        sess.input_arr = sn.fresh_random_input(sess.bucket_hw)
+        engine.add_job(self._fit(sess.content_image, sess.bucket_hw),
+                       self._fit(sess.style_image, sess.bucket_hw),
+                       sess.input_arr, lane=sess.lane)
+        engine.set_running(sess.lane, False)
+
+    def release(self, sess):
+        self.engine_of(sess).remove_job(sess.lane)
+        self.sessions.pop(sess.session_id, None)
+        logger.info('released session %s (lane %d)',
+                    sess.session_id, sess.lane)
+
+    @staticmethod
+    def _fit(pil_image, hw):
+        """Squashes an original onto a bucket grid."""
+        return np.uint8(pil_image.resize(hw[::-1], Image.LANCZOS))
+
+    def requeue(self, sess, content=None, style=None, input_arr=None,
+                keep_input=False, reset_input=False):
+        """Re-adds the session's job to its lane with updated slots (the
+        batched engine re-initializes the lane's optimizer state; images
+        default to the current session originals)."""
+        engine = self.engine_of(sess)
+        hw = sess.bucket_hw
+        was_running = engine.running[sess.lane]
+        if content is None:
+            content = self._fit(sess.content_image, hw)
+        if style is None:
+            style = self._fit(sess.style_image, hw)
+        if input_arr is None:
+            if keep_input and sess.input_arr is not None and not reset_input:
+                input_arr = sess.input_arr
             else:
-                per_step = max(now - sess.last_it_time, 1e-9) / len(traces)
-                sess.its_per_s(1 / per_step)
-            sess.i = i
-            sess.last_it_time = now
-            step_size = 0.0
-            if i > 1 and image.shape == sess.input_arr.shape:
-                diff = image - np.float32(sess.input_arr)
-                step_size = float(np.sqrt(np.mean(diff ** 2)))
-            if not sess.input_was_reset or i == len(traces):
-                sess.input_was_reset = False
-                sess.input_arr = image
-                for j, trace in enumerate(traces):
-                    sess.send(dict(type='iterateInfo',
-                                   i=i - len(traces) + 1 + j,
-                                   trace=dict(trace), stepSize=step_size,
-                                   itsPerS=sess.its_per_s()))
-        await asyncio.sleep(0)
+                input_arr = sn.fresh_random_input(hw)
+                sess.input_arr = input_arr
+                sess.input_was_reset = True
+        weights, scalars = sess.params['weights']
+        engine.remove_job(sess.lane)
+        engine.add_job(content, style, input_arr, weights=weights,
+                       scalar_params=scalars,
+                       step_size=sess.params.get('optimizer_step_size'),
+                       lane=sess.lane)
+        sess.i = 0
+        engine.set_running(sess.lane, was_running)
 
+    def migrate(self, sess, size):
+        """Moves a session to the bucket serving `size` with warm-started
+        state: the iterate and optimizer moments resample to the new grid
+        (reference optimizers.py:29-40); a session still at iterate <= 1
+        re-seeds cold from a fresh random input (reference app.py:187-194).
+        Raises SizeRejected when the target bucket has no free lane."""
+        old_engine = self.engine_of(sess)
+        new_engine = self.bucket_for(size)
+        new_hw = self.hw_for(size)
+        new_lane = new_engine.free_lane()
+        if new_lane is None:
+            raise sn.SizeRejected(
+                'No capacity at %d px right now; try again later.' % size)
 
-async def expire_sessions(app):
-    timeout = app['config'].getint('pool_session_timeout', 300)
-    while True:
-        now = time.monotonic()
-        for sess in list(app['sessions'].values()):
-            if not sess.wss and sess.last_access < now - timeout:
-                _release_session(app, sess)
-        await asyncio.sleep(5)
+        was_running = old_engine.running[sess.lane]
+        weights, scalars = sess.params['weights']
+        step_size = sess.params.get('optimizer_step_size')
+        content = self._fit(sess.content_image, new_hw)
+        style = self._fit(sess.style_image, new_hw)
 
+        lane_state = None
+        t = 0
+        if sess.i > 1:
+            mod = OPTIMIZERS[old_engine.optimizer_name]
+            lane_state = mod.resample(old_engine.lane_state(sess.lane),
+                                      new_hw)
+            lane_state = mod.objective_changed(lane_state)
+            t = sess.i
+            sess.input_arr = utils.resample_hwc(sess.input_arr, new_hw)
+        else:
+            sess.input_arr = sn.fresh_random_input(new_hw)
+            sess.input_was_reset = True
 
-# -- Lifecycle -------------------------------------------------------------------
+        old_engine.remove_job(sess.lane)
+        new_engine.add_job(content, style, sess.input_arr, weights=weights,
+                           scalar_params=scalars, step_size=step_size,
+                           lane=new_lane, lane_state=lane_state, t=t)
+        new_engine.set_running(new_lane, was_running)
+        sess.lane = new_lane
+        sess.bucket_hw = new_hw
+        sess.its_per_s.clear()
+        self._drop_empty_buckets()
+        logger.info('migrated session %s to bucket %s lane %d (warm=%s)',
+                    sess.session_id, new_hw, new_lane,
+                    lane_state is not None)
 
-def _router_url(app):
-    config = app['config']
-    host = config.get('router_host', '')
-    port = config.get('router_control_port', '')
-    if host and port:
-        return 'http://%s:%s' % (host, port)
-    return None
+    # -- the batched stepping task ------------------------------------------
 
+    async def drive(self):
+        """Steps every running lane of every bucket — one batched dispatch
+        per bucket per tick (K fused steps when pool_steps_per_dispatch >
+        1) — then fans the iterate bookkeeping out to the sessions. The
+        image snapshots once per tick; each fused step still gets its own
+        iterateInfo trace."""
+        k = self.config.getint('pool_steps_per_dispatch', 1)
+        loop = asyncio.get_event_loop()
+        while True:
+            busy_engines = [e for e in self.engines.values()
+                            if e.any_running()]
+            if not busy_engines:
+                self.wake.clear()
+                await self.wake.wait()
+                continue
+            for engine in busy_engines:
+                # One tick = dispatch + fan-out, atomic vs. engine_op
+                # mutations (a migration interleaved here would re-bind the
+                # session while we hand it this bucket's results).
+                async with self.tick_lock:
+                    if not engine.any_running():
+                        continue
+                    by_key = {(s.bucket_hw, s.lane): s
+                              for s in self.sessions.values()}
+                    lane_traces = await loop.run_in_executor(
+                        self.executor, engine.run_steps_all, k)
+                    for lane, traces in lane_traces.items():
+                        sess = by_key.get((engine.hw, lane))
+                        if sess is None:
+                            continue
+                        image = await loop.run_in_executor(
+                            self.executor, engine.lane_image, lane)
+                        sess.note_iterates(engine.t[lane], image, traces)
+            await asyncio.sleep(0)
 
-async def ping_router(app):
-    """Registers this pooled instance with the router, advertising its lane
-    capacity (the router then routes up to pool_lanes sessions here and
-    leaves per-session state management to the pool)."""
-    url = _router_url(app)
-    config = app['config']
-    payload = {
-        'addr': 'http://%s:%s/__control/reset'
-                % (config.get('pool_host', config['http_host']),
-                   config.get('pool_port', config['http_port'])),
-        'host': config.get('pool_host', config['http_host']),
-        'port': int(config.get('pool_port', config['http_port'])),
-        'app_id': app['id'],
-        'capacity': app['engine'].max_lanes,
-    }
-    while True:
-        try:
-            async with aiohttp.ClientSession() as sess:
-                await sess.post(url + '/__register', json=payload,
-                                timeout=aiohttp.ClientTimeout(total=2))
-        except Exception as err:
-            logger.debug('router ping failed: %s', err)
-        await asyncio.sleep(5)
+    async def expire_idle(self):
+        timeout = self.config.getint('pool_session_timeout', 300)
+        while True:
+            now = time.monotonic()
+            for sess in list(self.sessions.values()):
+                if not sess.sockets and sess.last_access < now - timeout:
+                    await self.engine_op(self.release, sess)
+            await self.engine_op(self._drop_empty_buckets)
+            await asyncio.sleep(5)
 
+    # -- HTTP handlers ----------------------------------------------------------
 
-async def startup_tasks(app):
-    import concurrent.futures
+    async def handle_index(self, request):
+        sess, created = await self.lookup(request)
+        resp = render('index.html', {
+            'max_size': self.config.getint('max_size', 9999),
+            'ga_tracking_code': self.config.get('ga_tracking_code', ''),
+            'top': '',
+        })
+        if created:
+            resp.set_cookie(SESSION_COOKIE, sess.session_id)
+        return resp
 
-    config = app['config']
-    size = config.getint('initial_size', 300)
-    content = Image.open(str(ROOT_DIR / config['initial_content'])).convert('RGB')
-    wh = utils.fit_into_square(content.size, size, scale_up=True)
-    app['bucket_hw'] = (wh[1], wh[0])
+    async def handle_output(self, request):
+        sess, _ = await self.lookup(request, create=False)
+        buf = io.BytesIO()
+        utils.as_pil(sess.input_arr).save(buf, format='png')
+        return web.Response(content_type='image/png', body=buf.getvalue(),
+                            headers={'Cache-Control': 'no-cache'})
 
-    with open(str(ROOT_DIR / config['initial_weights'])) as f:
-        weights_doc = yaml.safe_load(f)
+    async def handle_upload(self, request):
+        sess, _ = await self.lookup(request, create=False)
+        slot, image, _size = sn.decode_upload(await request.post())
+        arr = self._fit(image, sess.bucket_hw)
+        if slot == 'content':
+            sess.set_slot_image('content', image)
+            sess.its_per_s.clear()
+            await self.engine_op(self.requeue, sess, content=arr)
+            sess.push('thumbnails', content=sess.thumbnail('content'))
+        elif slot == 'style':
+            sess.set_slot_image('style', image)
+            await self.engine_op(self.requeue, sess, style=arr)
+            sess.push('thumbnails', style=sess.thumbnail('style'))
+        elif slot == 'input':
+            sess.input_arr = arr
+            await self.engine_op(self.requeue, sess, input_arr=arr,
+                                 keep_input=True)
+        else:
+            raise web.HTTPBadRequest(reason='unknown slot')
+        return web.Response()
 
-    params = resolve_params(config.get('weights', 'auto'), ROOT_DIR)
-    placement = None
-    mesh_spec = config.get('pool_mesh', '')
-    if mesh_spec:
-        from ..parallel import DataPlacement, make_mesh
-        placement = DataPlacement(make_mesh(mesh_spec, axis_names=('data',)))
+    async def handle_websocket(self, request):
+        sess, _ = await self.lookup(request, create=False)
+        sess.touch()
+        return await sn.pump_websocket(request, sess,
+                                       LaneActions(self, sess),
+                                       lambda: self.layers,
+                                       self.config.getint('max_size', 9999))
 
-    app['engine'] = BatchedStyleTransfer(
-        params, weights_doc[0], weights_doc[1], app['bucket_hw'],
-        max_lanes=config.getint('pool_lanes', 4),
-        optimizer=config.get('pool_optimizer', 'adam'),
-        precision=config.get('precision', 'float32'),
-        placement=placement)
-    app['layers'] = app['engine'].model.layers()
-    app['sessions'] = {}
-    app['wake'] = asyncio.Event()
-    app['executor'] = concurrent.futures.ThreadPoolExecutor(
-        max_workers=1, thread_name_prefix='pool-driver')
-    app['id'] = os.urandom(8).hex()
-    app['driver_task'] = asyncio.ensure_future(pool_driver(app))
-    app['expire_task'] = asyncio.ensure_future(expire_sessions(app))
-    app['pr_task'] = None
-    if _router_url(app):
-        app['pr_task'] = asyncio.ensure_future(ping_router(app))
+    async def handle_stats(self, request):
+        return render('stats.html', {
+            'instances': sum(e.max_lanes for e in self.engines.values()),
+            'sessions': len(self.sessions),
+            'timestamp': time.asctime(time.gmtime()),
+            'loadavg': os.getloadavg(),
+            'devices': ', '.join(str(d)
+                                 for d in __import__('jax').devices()),
+            'ga_tracking_code': self.config.get('ga_tracking_code', '')})
 
+    # -- lifecycle ------------------------------------------------------------------
 
-async def cleanup_tasks(app):
-    if app.get('pr_task'):
-        app['pr_task'].cancel()
-        try:
-            async with aiohttp.ClientSession() as sess:
-                await sess.post(_router_url(app) + '/__unregister',
-                                json={'app_id': app['id']},
-                                timeout=aiohttp.ClientTimeout(total=2))
-        except Exception:
-            pass
-    app['driver_task'].cancel()
-    app['expire_task'].cancel()
-    app['executor'].shutdown(wait=False)
+    async def on_startup(self, app):
+        import concurrent.futures
 
+        config = self.config
+        size = config.getint('initial_size', 300)
+        content = Image.open(
+            str(ROOT_DIR / config['initial_content'])).convert('RGB')
+        self.base_hw = (content.size[1], content.size[0])
+        self.default_hw = self.hw_for(size)
 
-async def stats(request):
-    app = request.app
-    engine = app['engine']
-    return render('stats.html', {
-        'instances': engine.max_lanes,
-        'sessions': len(app['sessions']),
-        'timestamp': time.asctime(time.gmtime()),
-        'loadavg': os.getloadavg(),
-        'devices': ', '.join(str(d) for d in __import__('jax').devices()),
-        'ga_tracking_code': app['config'].get('ga_tracking_code', '')})
+        with open(str(ROOT_DIR / config['initial_weights'])) as f:
+            self.weights_doc = yaml.safe_load(f)
+
+        self.model_params = resolve_params(config.get('weights', 'auto'),
+                                           ROOT_DIR)
+        mesh_spec = config.get('pool_mesh', '')
+        if mesh_spec:
+            from ..parallel import DataPlacement, make_mesh
+            self.placement = DataPlacement(
+                make_mesh(mesh_spec, axis_names=('data',)))
+
+        default_engine = self.bucket_for(size)
+        self.layers = default_engine.model.layers()
+        self.wake = asyncio.Event()
+        self.tick_lock = asyncio.Lock()
+        self.executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix='pool-driver')
+        self.tasks.append(asyncio.ensure_future(self.drive()))
+        self.tasks.append(asyncio.ensure_future(self.expire_idle()))
+        self.router = sn.RouterLink(
+            config, self.instance_id,
+            host=config.get('pool_host', config['http_host']),
+            port=config.get('pool_port', config['http_port']),
+            capacity=default_engine.max_lanes)
+        if self.router.configured:
+            self.tasks.append(asyncio.ensure_future(self.router.heartbeat()))
+
+    async def on_cleanup(self, app):
+        if self.router is not None:
+            await self.router.unregister()
+        for task in self.tasks:
+            task.cancel()
+        if self.executor is not None:
+            self.executor.shutdown(wait=False)
 
 
 def init(args=None, config=None):
     if config is None:
         config = utils.read_config(args)
+    debug_level = config.getint('debug', 0)
+    if args is not None and args.debug:
+        debug_level += args.debug
+    tier = PooledTier(config, debug_level)
+
     template_vars = {'ga_tracking_code': config.get('ga_tracking_code', '')}
     app = web.Application(middlewares=[error_pages(template_vars)],
                           client_max_size=64 * 1024 ** 2)
     app['config'] = config
-    app['debug_level'] = config.getint('debug', 0)
-    if args is not None and args.debug:
-        app['debug_level'] += args.debug
+    app['debug_level'] = debug_level
+    app['tier'] = tier
 
-    app.router.add_route('GET', '/', root)
-    app.router.add_route('GET', '/output', output_image)
-    app.router.add_route('POST', '/upload', upload)
-    app.router.add_route('GET', '/websocket', websocket)
-    app.router.add_route('GET', '/stats', stats)
+    app.router.add_route('GET', '/', tier.handle_index)
+    app.router.add_route('GET', '/output', tier.handle_output)
+    app.router.add_route('POST', '/upload', tier.handle_upload)
+    app.router.add_route('GET', '/websocket', tier.handle_websocket)
+    app.router.add_route('GET', '/stats', tier.handle_stats)
     add_static_routes(app)
 
-    app.on_startup.append(startup_tasks)
-    app.on_cleanup.append(cleanup_tasks)
+    app.on_startup.append(tier.on_startup)
+    app.on_cleanup.append(tier.on_cleanup)
     return app
 
 
@@ -510,6 +519,7 @@ def main():
     """The main function."""
     utils.setup_exceptions()
     utils.setup_signals()
+    utils.enable_compile_cache()
     args = utils.parse_args(__doc__)
     app = init(args)
     utils.setup_logging(app['debug_level'])

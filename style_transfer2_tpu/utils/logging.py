@@ -37,3 +37,16 @@ def setup_signals():
         signal.signal(signal.SIGHUP, handler)
     except (ValueError, OSError):
         pass  # not the main thread, or unsupported platform
+
+
+def enable_compile_cache(path=None):
+    """Points JAX's persistent compilation cache at the repo's .jax_cache:
+    every distinct (resolution, K) pair is a fresh XLA program, and remote
+    TPU compiles over the tunnel take minutes — the cache makes them
+    one-time. Call before the first jit dispatch."""
+    import jax
+    from pathlib import Path
+    if path is None:
+        path = Path(__file__).resolve().parents[2] / '.jax_cache'
+    jax.config.update('jax_compilation_cache_dir', str(path))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -30,6 +30,8 @@ def _config():
         'precision': 'float32',
         'pool_lanes': '2',
         'pool_optimizer': 'adam',
+        'pool_sizes': '32 48',
+        'max_size': '96',
     }
     return cp['DEFAULT']
 
@@ -106,16 +108,16 @@ def test_two_sessions_share_one_engine(pool_client):
         assert a.cookie != b.cookie
         await a.recv_until('state')
         await b.recv_until('state')
-        lanes = {s.lane for s in app['sessions'].values()}
+        lanes = {s.lane for s in app['tier'].sessions.values()}
         assert lanes == {0, 1}
 
         # Start only session A: it iterates, B stays idle.
         await a.send({'type': 'start'})
         info_a = await a.recv_until('iterateInfo')
         assert info_a['i'] >= 1
-        lane_b = [s.lane for s in app['sessions'].values()
+        lane_b = [s.lane for s in app['tier'].sessions.values()
                   if s.session_id == b.cookie][0]
-        assert app['engine'].t[lane_b] == 0
+        assert app['tier'].engines[app['tier'].default_hw].t[lane_b] == 0
 
         # Start B too; both advance independently.
         await b.send({'type': 'start'})
@@ -130,12 +132,12 @@ def test_two_sessions_share_one_engine(pool_client):
         state = await a.recv_until('state')
         assert state['running'] is False
         await asyncio.sleep(0.3)
-        lane_a = [s.lane for s in app['sessions'].values()
+        lane_a = [s.lane for s in app['tier'].sessions.values()
                   if s.session_id == a.cookie][0]
-        t_a = app['engine'].t[lane_a]
+        t_a = app['tier'].engines[app['tier'].default_hw].t[lane_a]
         b.got.pop('iterateInfo')
         await b.recv_until('iterateInfo')
-        assert app['engine'].t[lane_a] == t_a  # frozen
+        assert app['tier'].engines[app['tier'].default_hw].t[lane_a] == t_a  # frozen
 
         # Per-lane weight VALUE change is accepted.
         params = yaml.safe_load(b.got['newParams']['params'])
@@ -154,18 +156,18 @@ def test_two_sessions_share_one_engine(pool_client):
         reply = await b.recv_until('newParams')
         assert 'structure' in reply['errorString']
 
-        # Size change is rejected in pool mode.
+        # A size outside the configured bucket list is rejected.
         bad2 = yaml.safe_load(b.got['newParams']['params'])
         bad2['size'] = 64
         b.got.pop('newParams')
         await b.send({'type': 'applyParams', 'params': yaml.safe_dump(bad2)})
         reply = await b.recv_until('newParams')
-        assert 'fixed resolution' in reply['errorString']
+        assert 'resolutions' in reply['errorString']
 
         # /output serves each session its own image.
         img_a = await a.output()
         img_b = await b.output()
-        assert img_a.shape[:2] == app['bucket_hw']
+        assert img_a.shape[:2] == app['tier'].default_hw
         assert not np.array_equal(img_a, img_b)
 
         await a.ws.close()
@@ -223,5 +225,57 @@ def test_pool_upload_and_reset(pool_client):
             if info['i'] == 1:
                 break
         assert info['i'] >= 1
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_size_migration_warm_start(pool_client):
+    """A pooled session applies a size change via applyParams and continues
+    with WARM-STARTED state in the new bucket (reference mid-run resize,
+    optimizers.py:29-40): the iterate counter carries over, the new-bucket
+    image is the resampled old iterate (not a fresh random init), and
+    iteration proceeds at the new resolution."""
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        await a.send({'type': 'start'})
+        info = await a.recv_until('iterateInfo')
+        while info['i'] < 3:
+            a.got.pop('iterateInfo')
+            info = await a.recv_until('iterateInfo')
+        img32 = await a.output()
+
+        params = yaml.safe_load(a.got['newParams']['params'])
+        params['size'] = 48
+        a.got.pop('newParams')
+        a.got.pop('newSize')
+        await a.send({'type': 'applyParams', 'params': yaml.safe_dump(params)})
+        reply = await a.recv_until('newParams')
+        assert reply['errorString'] == ''
+        new_size = a.got['newSize']   # pushed just before newParams
+        tier = app['tier']
+        sess = list(tier.sessions.values())[0]
+        assert max(sess.bucket_hw) == 48
+        assert (new_size['height'], new_size['width']) == tuple(sess.bucket_hw)
+
+        # Warm start: the migrated input is the resampled old iterate.
+        img48 = np.float32(sess.input_arr)
+        up = np.float32(np.asarray(
+            Image.fromarray(np.uint8(np.clip(img32, 0, 255)))
+            .resize(sess.bucket_hw[::-1], Image.LANCZOS)))
+        corr = np.corrcoef(img48.ravel(), up.ravel())[0, 1]
+        assert corr > 0.8, 'migrated input not warm-started (corr %.3f)' % corr
+
+        # Iteration continues in the new bucket, counter carried over.
+        i_before = sess.i
+        a.got.pop('iterateInfo', None)
+        info = await a.recv_until('iterateInfo')
+        assert info['i'] > i_before >= 3
+        assert np.isfinite(info['trace']['loss'])
+        out = await a.output()
+        assert out.shape[:2] == sess.bucket_hw
+
         await a.ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 600))

@@ -504,3 +504,97 @@ def test_driver_image_throttling():
         await driver.in_queue.put(m.Shutdown())
         await task
     run(body())
+
+
+def test_driver_adaptive_dispatch():
+    """adaptive_max_steps: the dispatch right after any control message is
+    a single step (control latency <= 1 iteration); with a quiet queue,
+    dispatches fuse K steps."""
+    async def body():
+        driver = Driver(random_params(0), adaptive_max_steps=4)
+        calls = []
+        real_step = driver.transfer.step
+        real_run = driver.transfer.run_steps
+
+        def spy_step(*a, **kw):
+            calls.append(1)
+            return real_step(*a, **kw)
+
+        def spy_run(n, *a, **kw):
+            calls.append(n)
+            return real_run(n, *a, **kw)
+
+        driver.transfer.step = spy_step
+        driver.transfer.run_steps = spy_run
+
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+        rng = np.random.RandomState(5)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+        while sum(calls) < 9:
+            await _drain_until(driver, m.Iterate)
+        assert calls[0] == 1, calls   # control just before: single step
+        assert 4 in calls, calls      # quiet queue: fused chunks
+
+        # Pause, let the driver go idle, then resume: the first dispatch
+        # after the control burst must again be a single step.
+        await driver.in_queue.put(m.PauseIteration())
+        while driver.transfer.is_running or not driver.in_queue.empty():
+            await asyncio.sleep(0.05)
+        await asyncio.sleep(0.2)
+        n0 = len(calls)
+        await driver.in_queue.put(m.StartIteration())
+        while len(calls) < n0 + 2:
+            await _drain_until(driver, m.Iterate)
+        assert calls[n0] == 1, calls[n0:]
+        assert calls[n0 + 1] == 4, calls[n0:]
+
+        await driver.in_queue.put(m.Shutdown())
+        await task
+    run(body())
+
+
+def test_app_aspect_change_while_paused_recovers(app_client):
+    """Regression: pause -> aspect-CHANGING content upload -> reset ->
+    start must iterate. The reference wedges here (its init_arrays
+    compares only max-size, app.py:249-252, so the stale-aspect input
+    never reconciles with the new content grid and the worker loops on
+    GetImages); the state feed now reconciles the full grid."""
+    client, loop = app_client
+
+    async def body():
+        ws = await client.ws_connect('/websocket')
+        got = {}
+        async def recv_until(wanted, limit=400):
+            for _ in range(limit):
+                msg = await asyncio.wait_for(ws.receive(), 240)
+                data = json.loads(msg.data)
+                got[data['type']] = data
+                if data['type'] == wanted:
+                    return data
+            raise AssertionError('never received %s (got %s)'
+                                 % (wanted, list(got)))
+        await recv_until('thumbnails')
+        await ws.send_str(json.dumps({'type': 'start'}))
+        info = await recv_until('iterateInfo')
+        while info['i'] < 3:
+            got.pop('iterateInfo')
+            info = await recv_until('iterateInfo')
+        await ws.send_str(json.dumps({'type': 'pause'}))
+        await recv_until('state')
+        # Square content into a 4:3 session: the grids now disagree.
+        resp = await client.post('/upload', data={
+            'size': '48', 'slot': 'content', 'data': _data_url((40, 40), 9)})
+        assert resp.status == 200
+        await ws.send_str(json.dumps({'type': 'reset'}))
+        await ws.send_str(json.dumps({'type': 'start'}))
+        got.pop('iterateInfo', None)
+        info = await recv_until('iterateInfo')
+        assert info['i'] >= 1 and np.isfinite(info['trace']['loss'])
+        await ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 300))
