@@ -89,7 +89,158 @@ def bench_tpu(params, content, style):
         % (done, SIZE, ['%.2f' % r for r in rates], its_per_s,
            trace['loss']))
     assert np.isfinite(trace['loss'])
-    return its_per_s
+    return its_per_s, st
+
+
+PEAK_FLOPS = (  # per-chip bf16 peak, by device_kind substring
+    ('v6', 918e12), ('v5p', 459e12), ('v5', 197.3e12), ('v4', 275e12))
+
+
+def mfu_estimate(st, its_per_s):
+    """Model FLOPs utilization: XLA's own cost analysis of the compiled
+    fused step, divided by measured step time and the chip's bf16 peak.
+    Returns (mfu, tflops_per_step) or (None, None) off-TPU."""
+    import jax
+    kind = jax.devices()[0].device_kind
+    peak = next((p for key, p in PEAK_FLOPS if key in kind), None)
+    if peak is None:
+        return None, None
+    try:
+        from style_transfer2_tpu.engine.steps import build_step_fns
+        spec = st.spec()
+        step_fn, _ = build_step_fns(spec, st.optimizer_name, st.precision,
+                                    use_pallas=st.use_pallas, remat=st.remat)
+        compiled = step_fn.lower(st.params, st.opt_state,
+                                 st._gather_inputs(spec),
+                                 st._step_size_device()).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis['flops'])
+    except Exception as err:
+        log('cost analysis unavailable: %s' % err)
+        return None, None
+    mfu = flops * its_per_s / peak
+    log('MFU: %.3g FLOPs/step at %.1f it/s vs %.3g peak -> %.1f%%'
+        % (flops, its_per_s, peak, 100 * mfu))
+    return round(mfu, 4), round(flops / 1e12, 4)
+
+
+# -- North star: wall-clock to a converged 1024px image -------------------------
+
+NORTHSTAR_SIZE = 1024
+NS_CHUNK = 60
+NS_TOL = 1e-3       # converged: relative loss drop per chunk below this
+NS_MAX_ITERS = 2400
+NS_MIN_SIZE = 256   # coarsest rung of the multi-scale ladder
+
+
+def _make_engine(params, content, style, input_image, precision):
+    from style_transfer2_tpu.engine import StyleTransfer
+    st = StyleTransfer(params, precision=precision)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer('lbfgs')
+    st.set_step_size(1.0)
+    st.set_content(content)
+    st.set_style(style)
+    st.set_input(input_image)
+    assert st.start()
+    return st
+
+
+def _run_to_plateau(st, max_iters=NS_MAX_ITERS, tol=NS_TOL):
+    """Fused 60-step chunks until the per-chunk relative loss improvement
+    falls below tol. Returns (iters, final_loss)."""
+    prev = None
+    done = 0
+    while done < max_iters:
+        _, trace = st.run_steps(NS_CHUNK, fetch_image=False)
+        done += NS_CHUNK
+        loss = trace['loss']
+        if prev is not None and (prev - loss) < tol * abs(loss):
+            break
+        prev = loss
+    return done, loss
+
+
+def bench_northstar(params, precision):
+    """BASELINE.json's north-star metric: wall-clock to a converged 1024px
+    golden_gate x starry_night image, single-scale (random init at 1024)
+    vs multi-scale (the utils.scales() coarse-to-fine ladder with
+    warm-started optimizer state, reference utils.py:193-207 — the ladder
+    the reference ships but never calls). Compile time is excluded (one
+    warmup chunk per program first; the persistent cache keeps reruns
+    honest)."""
+    from PIL import Image
+    from style_transfer2_tpu.utils import resize_to_fit, scales
+
+    content_full = Image.open(HERE / 'examples/golden_gate.jpg').convert('RGB')
+    style = np.uint8(resize_to_fit(
+        Image.open(HERE / 'examples/starry_night.jpg').convert('RGB'),
+        NORTHSTAR_SIZE))
+    ladder = sorted(s for s in scales(NORTHSTAR_SIZE) if s >= NS_MIN_SIZE)
+    log('north star: ladder %s' % ladder)
+
+    def content_at(size):
+        return np.uint8(resize_to_fit(content_full, size))
+
+    rng = np.random.RandomState(0)
+
+    # Warm the compile cache for every program both runs will use.
+    for size in ladder:
+        c = content_at(size)
+        st = _make_engine(params, c, style,
+                          rng.uniform(0, 255, c.shape).astype(np.uint8),
+                          precision)
+        st.run_steps(NS_CHUNK, fetch_image=False)
+        if size != ladder[-1]:
+            nxt = content_at(ladder[ladder.index(size) + 1])
+            st.resample_input(nxt.shape[:2])
+            st.set_content(nxt)
+            st.run_steps(NS_CHUNK, fetch_image=False)
+    log('north star: compile warmup done')
+
+    # Single-scale: random init straight at 1024px.
+    c1024 = content_at(NORTHSTAR_SIZE)
+    st = _make_engine(params, c1024, style,
+                      rng.uniform(0, 255, c1024.shape).astype(np.uint8),
+                      precision)
+    t0 = time.perf_counter()
+    iters_s, loss_s = _run_to_plateau(st)
+    single_s = time.perf_counter() - t0
+    log('north star single-scale: %.1fs, %d iters, loss %.4g'
+        % (single_s, iters_s, loss_s))
+
+    # Multi-scale: plateau each rung, warm-start the next from it.
+    c = content_at(ladder[0])
+    st = _make_engine(params, c, style,
+                      rng.uniform(0, 255, c.shape).astype(np.uint8),
+                      precision)
+    t0 = time.perf_counter()
+    iters_m = 0
+    for i, size in enumerate(ladder):
+        it, loss_m = _run_to_plateau(st)
+        iters_m += it
+        if i + 1 < len(ladder):
+            nxt = content_at(ladder[i + 1])
+            st.resample_input(nxt.shape[:2])
+            st.set_content(nxt)
+    multi_s = time.perf_counter() - t0
+    log('north star multi-scale: %.1fs, %d iters, final loss %.4g'
+        % (multi_s, iters_m, loss_m))
+
+    # Commit the converged image for eyeballing.
+    from style_transfer2_tpu.utils import as_pil
+    as_pil(st.snapshot()).save(HERE / 'examples/converged_1024_bench.png')
+
+    return {
+        'converged_1024px_single_scale_s': round(single_s, 1),
+        'converged_1024px_single_scale_iters': iters_s,
+        'converged_1024px_single_scale_loss': float('%.6g' % loss_s),
+        'converged_1024px_multi_scale_s': round(multi_s, 1),
+        'converged_1024px_multi_scale_iters': iters_m,
+        'converged_1024px_multi_scale_loss': float('%.6g' % loss_m),
+    }
 
 
 def bench_cpu_reference(params, content, style):
@@ -135,7 +286,9 @@ def main():
     content, style = load_images()
     log('content %s style %s' % (content.shape, style.shape))
 
-    tpu_its = bench_tpu(params, content, style)
+    tpu_its, st = bench_tpu(params, content, style)
+    mfu, tflops_step = mfu_estimate(st, tpu_its)
+    del st
     cpu_its = bench_cpu_reference(params, content, style)
 
     precision = os.environ.get('BENCH_PRECISION', 'float32')
@@ -146,6 +299,16 @@ def main():
         'unit': 'it/s',
         'vs_baseline': round(tpu_its / cpu_its, 2),
     }
+    if mfu is not None:
+        result['mfu'] = mfu
+        result['tflops_per_step'] = tflops_step
+
+    dev = jax.devices()[0]
+    on_tpu = 'tpu' in (str(dev.platform) + str(dev.device_kind)).lower()
+    if on_tpu and os.environ.get('BENCH_NORTHSTAR', '1') != '0':
+        result.update(bench_northstar(
+            params, os.environ.get('BENCH_NS_PRECISION', 'bfloat16')))
+
     print(json.dumps(result), flush=True)
 
 

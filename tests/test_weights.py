@@ -144,3 +144,48 @@ def test_npz_roundtrip_and_resolve(tmp_path, rng):
     assert rnd['conv5_4']['w'].shape == (3, 3, 512, 512)
     auto = resolve_params('auto', root=tmp_path)  # nothing there -> random
     np.testing.assert_array_equal(auto['conv1_1']['w'], rnd['conv1_1']['w'])
+
+
+REAL_CAFFEMODEL = (
+    __import__('pathlib').Path(__file__).resolve().parents[1]
+    / 'models' / 'vgg19.caffemodel')
+
+
+@pytest.mark.skipif(not REAL_CAFFEMODEL.exists(),
+                    reason='models/vgg19.caffemodel not present (this CI '
+                           'image has no egress; run download_models.sh)')
+def test_real_caffemodel_end_to_end():
+    """With the actual trained VGG-19 (download_models.sh), the parsed
+    weights must carry trained-net statistics and drive a stylization whose
+    loss decreases (reference worker.py:46-61 load path)."""
+    from PIL import Image
+    from style_transfer2_tpu.engine import StyleTransfer
+    from style_transfer2_tpu.utils import resize_to_fit
+
+    params = params_from_caffemodel(REAL_CAFFEMODEL)
+    assert set(params) == {name for name, _ in CONV_SPECS}
+    for name, out_c in CONV_SPECS:
+        w = params[name]['w']
+        assert w.shape == (3, 3, _IN_CHANNELS[name], out_c)
+        assert 1e-4 < np.abs(w).mean() < 1.0   # trained-scale, not junk
+        assert np.isfinite(w).all()
+
+    root = REAL_CAFFEMODEL.parents[1]
+    content = np.uint8(resize_to_fit(
+        Image.open(root / 'examples/golden_gate.jpg').convert('RGB'), 96))
+    style = np.uint8(resize_to_fit(
+        Image.open(root / 'examples/starry_night.jpg').convert('RGB'), 96))
+    st = StyleTransfer(params)
+    st.set_weights({'content': {'conv4_2': 0.08},
+                    'style': {'conv1_1': 1.0, 'conv2_1': 1.0,
+                              'conv3_1': 1.0, 'conv4_1': 1.0},
+                    'deepdream': {}},
+                   {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0})
+    st.set_optimizer('lbfgs')
+    st.set_content(content)
+    st.set_style(style)
+    st.set_input(np.random.RandomState(0).uniform(
+        0, 255, content.shape).astype(np.uint8))
+    assert st.start()
+    losses = [st.step()[1]['loss'] for _ in range(8)]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
