@@ -111,10 +111,14 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
                   use_pallas=False, remat=False):
     """K optimizer steps fused into one dispatch via lax.scan.
 
-    scan_fn(params, state, inputs, step_size) -> (state', norms', traces)
-    where traces is a tuple of (n_steps,) arrays (one per trace key). The
-    norm state threads through the scan, so first-eval caching behaves
-    identically to K separate steps.
+    scan_fn(params, state, inputs, step_size)
+        -> (state', norms', traces, image)
+    where traces is a tuple of (n_steps,) arrays (one per trace key) and
+    image is the deprocessed (H, W, 3) float32 final iterate. The image is
+    a SEPARATE output (not an alias of state'['x']) because state' is
+    donated into the next dispatch under pipelining — the snapshot must
+    survive that donation. The norm state threads through the scan, so
+    first-eval caching behaves identically to K separate steps.
     """
     step_core, _ = build_step_core(spec, optimizer, precision, b1, b2,
                                    use_pallas, remat)
@@ -132,6 +136,8 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
         init = (state, inputs['norms_vals'], inputs['norms_set'])
         (state, norms_vals, norms_set), traces = jax.lax.scan(
             body, init, None, length=n_steps)
-        return state, (norms_vals, norms_set), traces
+        from ..models import vgg19
+        image = vgg19.deprocess(state['x'])
+        return state, (norms_vals, norms_set), traces, image
 
     return jax.jit(scan_fn, donate_argnums=(1,))

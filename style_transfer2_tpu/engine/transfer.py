@@ -33,6 +33,20 @@ from .objective import (
 from .steps import build_scan_fn, build_step_fns, precision_config
 
 
+class StepsDispatch:
+    """Handle for an in-flight begin_steps dispatch: the un-materialized
+    trace arrays plus enough bookkeeping to label them on collection."""
+
+    __slots__ = ('spec', 'traces', 'n_steps', 't_end', 'image')
+
+    def __init__(self, spec, traces, n_steps, t_end, image):
+        self.spec = spec
+        self.traces = traces
+        self.n_steps = n_steps
+        self.t_end = t_end
+        self.image = image  # deprocessed final iterate (device array)
+
+
 class StyleTransfer:
     """Performs image stylization by minimizing the fused objective with an
     optimizer pytree. API parity with reference worker.py:117-315."""
@@ -364,12 +378,17 @@ class StyleTransfer:
         image = np.asarray(vgg19.deprocess(self._input)) if fetch_image else None
         return image, trace.data
 
-    def run_steps(self, n_steps, fetch_image=True):
-        """Runs n_steps optimizer iterations fused into ONE device dispatch
-        (lax.scan) — zero host round-trips per iteration. Weights and step
-        size are fixed for the duration (interactive serving uses step()
-        instead so changes apply within one iteration). Appends one trace
-        per iteration; returns (image-or-None, last trace dict)."""
+    def begin_steps(self, n_steps):
+        """Dispatches n_steps fused iterations (one lax.scan program) WITHOUT
+        waiting for them: JAX async dispatch returns future arrays, so the
+        call costs only the host-side enqueue (~50 ms over the tunnel vs
+        ~0.5 s for a full round trip). The engine state advances to the
+        futures immediately — a subsequent begin_steps chains onto them on
+        device, which is how the serving driver keeps the device busy while
+        the host drains results (pipelined dispatch).
+
+        Returns a handle for collect_steps. Handles MUST be collected in
+        dispatch order (self.traces is append-ordered)."""
         spec = self.spec()
         _, eval_fn = build_step_fns(spec, self.optimizer_name, self.precision,
                                     use_pallas=self.use_pallas,
@@ -380,29 +399,47 @@ class StyleTransfer:
                                 n_steps, use_pallas=self.use_pallas,
                                 remat=self.remat)
         inputs = self._gather_inputs(spec)
-        self.opt_state, norms, traces = scan_fn(
+        self.opt_state, norms, traces, image = scan_fn(
             self.params, self.opt_state, inputs, self._step_size_device())
         self._input = self.opt_state['x']
-
         norms_vals, norms_set = norms
         for key in spec.norm_keys:
             self.norm_vals[key] = norms_vals[key]
             self.norm_set[key] = norms_set[key]
+        self.t += n_steps
+        return StepsDispatch(spec, traces, n_steps, self.t, image)
+
+    def collect_steps(self, dispatch, fetch_image=True):
+        """Blocks on a begin_steps handle and materializes its results:
+        appends one Trace per iteration and returns (image-or-None, traces).
+        The image is the iterate as of the END of that dispatch — computed
+        on device as a scan output of its own, so it survives the state
+        donation even when later dispatches are already in flight."""
         # One host transfer for all n_steps traces.
-        columns = [np.asarray(col) for col in jax.device_get(traces)]
+        columns = [np.asarray(col) for col in jax.device_get(dispatch.traces)]
         now = time.perf_counter()
-        trace = None
-        for i in range(n_steps):
-            self.t += 1
+        out = []
+        for i in range(dispatch.n_steps):
             trace = Trace()
-            for key, col in zip(spec.trace_keys, columns):
+            for key, col in zip(dispatch.spec.trace_keys, columns):
                 if key == 'loss':
                     trace('time', now)
                 trace(key, float(col[i]))
-            trace('fevals', self.t)
+            trace('fevals', dispatch.t_end - dispatch.n_steps + 1 + i)
             self.traces.append(trace)
-        image = np.asarray(vgg19.deprocess(self._input)) if fetch_image else None
-        return image, trace.data
+            out.append(trace)
+        image = np.asarray(dispatch.image) if fetch_image else None
+        return image, out
+
+    def run_steps(self, n_steps, fetch_image=True):
+        """Runs n_steps optimizer iterations fused into ONE device dispatch
+        (lax.scan) — zero host round-trips per iteration. Weights and step
+        size are fixed for the duration (interactive serving uses step()
+        instead so changes apply within one iteration). Appends one trace
+        per iteration; returns (image-or-None, last trace dict)."""
+        image, traces = self.collect_steps(self.begin_steps(n_steps),
+                                           fetch_image)
+        return image, traces[-1].data
 
     def snapshot(self):
         """Fetches the current iterate as a deprocessed HxWx3 float32 RGB

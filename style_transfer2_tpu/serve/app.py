@@ -93,7 +93,8 @@ class SingleSessionTier(sn.EngineActions):
             use_pallas=self.config.getboolean('pallas', False),
             steps_per_dispatch=self.config.getint('steps_per_dispatch', 1),
             image_every=self.config.getint('image_every', 1),
-            adaptive_max_steps=self.config.getint('adaptive_dispatch', 30))
+            adaptive_max_steps=self.config.getint('adaptive_dispatch', 30),
+            pipeline_depth=self.config.getint('pipeline_depth', 2))
         self.driver_task = asyncio.ensure_future(self.driver.run())
         if self.pump_task is not None:
             self.pump_task.cancel()

@@ -29,7 +29,7 @@ class Driver:
 
     def __init__(self, params, precision='float32', placement=None,
                  loop=None, use_pallas=False, steps_per_dispatch=1,
-                 image_every=1, adaptive_max_steps=0):
+                 image_every=1, adaptive_max_steps=0, pipeline_depth=2):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
         iterations (the reference guarantee is 1, the default).
@@ -42,13 +42,20 @@ class Driver:
         its effect within one iteration, the reference's latency
         guarantee), and once the control queue goes quiet, dispatches fuse
         adaptive_max_steps iterations each — amortizing the ~0.5 s tunnel
-        dispatch cost that otherwise dominates interactive serving. Only
-        two programs compile per resolution (K=1 and K=max)."""
+        dispatch cost that otherwise dominates interactive serving.
+        pipeline_depth > 1 splits each quiet-phase chunk into depth
+        pipelined dispatches kept in flight together (begin_steps is async;
+        collect_steps blocks): the tunnel round trip of one sub-chunk hides
+        behind the compute of the next, worth ~25% throughput at identical
+        worst-case control latency (still adaptive_max_steps iterations of
+        in-flight work). Programs compiled per resolution: K=1 plus one per
+        distinct sub-chunk length."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.image_every = max(1, int(image_every))
         self.adaptive_max_steps = max(0, int(adaptive_max_steps))
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._recent_control = False
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
@@ -66,57 +73,82 @@ class Driver:
     async def start(self):
         await self.out_queue.put(m.WorkerReady(layers=self.transfer.layers()))
 
+    async def _collect(self, handle):
+        """Materializes one in-flight dispatch and emits its Iterates (one
+        per fused iteration, sharing the chunk-final snapshot)."""
+        image, traces = await self._device(self.transfer.collect_steps,
+                                           handle, True)
+        for j, tr in enumerate(traces):
+            await self.out_queue.put(m.Iterate(
+                image, handle.t_end - handle.n_steps + 1 + j, tr.data))
+
     async def run(self):
-        """Main loop, mirroring reference worker.py:338-364."""
+        """Main loop, mirroring reference worker.py:338-364 — with the
+        fused/pipelined dispatch policy layered on: control messages are
+        only applied with no dispatch in flight (Iterate ordering follows
+        engine-state ordering), and any control traffic forces the next
+        dispatch down to a single step."""
         await self.start()
+        in_flight = []   # begin_steps handles, dispatch order
+
+        async def flush():
+            while in_flight:
+                await self._collect(in_flight.pop(0))
+
         try:
             while not self.should_stop:
                 if self.transfer.is_running:
-                    # Drain everything pending, then take one step.
-                    while not self.in_queue.empty():
-                        msg = self.in_queue.get_nowait()
-                        if await self.process_message(msg):
-                            self.should_stop = True
-                            break
-                    if self.should_stop:
-                        break
-                    if not self.transfer.is_running:
+                    if not self.in_queue.empty():
+                        # Settle in-flight work, then drain all pending
+                        # control messages.
+                        await flush()
+                        while not self.in_queue.empty():
+                            msg = self.in_queue.get_nowait()
+                            if await self.process_message(msg):
+                                self.should_stop = True
+                                break
                         continue
-                    if self.transfer.check_consistency():
-                        if self.adaptive_max_steps > 1:
-                            # One-step dispatch right after control traffic;
-                            # full fused chunks once the queue is quiet.
-                            k = 1 if self._recent_control \
-                                else self.adaptive_max_steps
-                            self._recent_control = False
-                        else:
-                            k = self.steps_per_dispatch
-                        if k == 1:
-                            # Iterate 1 always carries an image: the app's
-                            # input_was_reset guard clears only on an
-                            # image-bearing first iterate (app.py parity).
-                            t_next = self.transfer.t + 1
-                            fetch = (t_next == 1
-                                     or t_next % self.image_every == 0)
-                            image, trace = await self._device(
-                                self.transfer.step, fetch)
-                            await self.out_queue.put(
-                                m.Iterate(image, self.transfer.t, trace))
-                        else:
-                            image, _ = await self._device(
-                                self.transfer.run_steps, k)
-                            # one Iterate per fused iteration, same snapshot
-                            for j, tr in enumerate(self.transfer.traces[-k:]):
-                                await self.out_queue.put(m.Iterate(
-                                    image, self.transfer.t - k + 1 + j,
-                                    tr.data))
-                    else:
+                    if not self.transfer.check_consistency():
+                        await flush()
                         await self.out_queue.put(m.GetImages())
                         # Wait for the app's reply instead of spinning.
                         msg = await self.in_queue.get()
                         if await self.process_message(msg):
                             break
+                        continue
+                    if self.adaptive_max_steps > 1:
+                        # One-step dispatch right after control traffic;
+                        # full fused chunks once the queue is quiet.
+                        if self._recent_control:
+                            k, depth = 1, 1
+                            self._recent_control = False
+                        else:
+                            depth = self.pipeline_depth
+                            k = max(1, self.adaptive_max_steps // depth)
+                    else:
+                        k = self.steps_per_dispatch
+                        depth = self.pipeline_depth if k > 1 else 1
+                    if k == 1:
+                        await flush()
+                        # Iterate 1 always carries an image: the app's
+                        # input_was_reset guard clears only on an
+                        # image-bearing first iterate (app.py parity).
+                        t_next = self.transfer.t + 1
+                        fetch = (t_next == 1
+                                 or t_next % self.image_every == 0)
+                        image, trace = await self._device(
+                            self.transfer.step, fetch)
+                        await self.out_queue.put(
+                            m.Iterate(image, self.transfer.t, trace))
+                    elif len(in_flight) < depth:
+                        # Enqueue another chunk (cheap: async dispatch).
+                        in_flight.append(await self._device(
+                            self.transfer.begin_steps, k))
+                    else:
+                        # Pipeline full: settle the oldest chunk.
+                        await self._collect(in_flight.pop(0))
                     continue
+                await flush()
                 msg = await self.in_queue.get()
                 if await self.process_message(msg):
                     break

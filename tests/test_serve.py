@@ -511,21 +511,22 @@ def test_driver_adaptive_dispatch():
     a single step (control latency <= 1 iteration); with a quiet queue,
     dispatches fuse K steps."""
     async def body():
-        driver = Driver(random_params(0), adaptive_max_steps=4)
+        driver = Driver(random_params(0), adaptive_max_steps=4,
+                        pipeline_depth=1)
         calls = []
         real_step = driver.transfer.step
-        real_run = driver.transfer.run_steps
+        real_begin = driver.transfer.begin_steps
 
         def spy_step(*a, **kw):
             calls.append(1)
             return real_step(*a, **kw)
 
-        def spy_run(n, *a, **kw):
+        def spy_begin(n, *a, **kw):
             calls.append(n)
-            return real_run(n, *a, **kw)
+            return real_begin(n, *a, **kw)
 
         driver.transfer.step = spy_step
-        driver.transfer.run_steps = spy_run
+        driver.transfer.begin_steps = spy_begin
 
         task = asyncio.ensure_future(driver.run())
         await _drain_until(driver, m.WorkerReady)
@@ -598,3 +599,88 @@ def test_app_aspect_change_while_paused_recovers(app_client):
         assert info['i'] >= 1 and np.isfinite(info['trace']['loss'])
         await ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 300))
+
+
+def test_driver_pipelined_dispatch():
+    """pipeline_depth=2: quiet-phase chunks are split in half and two
+    dispatches ride in flight together; Iterate numbering stays strictly
+    sequential; a control message still forces the next dispatch to a
+    single step (applied only after the in-flight work settles)."""
+    async def body():
+        driver = Driver(random_params(0), adaptive_max_steps=4,
+                        pipeline_depth=2)
+        begins = []
+        real_begin = driver.transfer.begin_steps
+
+        def spy_begin(n, *a, **kw):
+            begins.append(n)
+            return real_begin(n, *a, **kw)
+
+        driver.transfer.begin_steps = spy_begin
+
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+        rng = np.random.RandomState(5)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+
+        seen = []
+        while len(seen) < 12:
+            it = await _drain_until(driver, m.Iterate)
+            seen.append(it.i)
+        # Strictly sequential iterate numbering across pipelined chunks.
+        assert seen == list(range(seen[0], seen[0] + len(seen))), seen
+        # Chunks are halved (4 // 2 = 2) once the queue is quiet.
+        assert 2 in begins and 4 not in begins, begins
+
+        # A weight change lands as a single-step dispatch next.
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, dict(SCALARS,
+                                                             tv=9.0)))
+        await driver.in_queue.put(m.Shutdown())
+        await task
+    run(body())
+
+
+def test_begin_collect_matches_run_steps():
+    """The split begin/collect pair (pipelining API) is trace-identical to
+    the blocking run_steps, including when two dispatches are enqueued
+    before either is collected."""
+    from style_transfer2_tpu.engine import StyleTransfer
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (20, 20, 3)).astype(np.uint8)
+            for _ in range(3)]
+
+    def fresh():
+        st = StyleTransfer(random_params(0))
+        st.set_weights(WEIGHTS, SCALARS)
+        st.set_optimizer('lbfgs')
+        st.set_step_size(1.0)
+        st.set_input(imgs[0])
+        st.set_content(imgs[1])
+        st.set_style(imgs[2])
+        assert st.start()
+        return st
+
+    a = fresh()
+    a.run_steps(3, fetch_image=False)
+    img_a, tr_a = a.run_steps(3)
+
+    b = fresh()
+    h1 = b.begin_steps(3)
+    h2 = b.begin_steps(3)       # chains on h1's futures on device
+    _, traces1 = b.collect_steps(h1, fetch_image=False)
+    img_b, traces2 = b.collect_steps(h2)
+
+    assert [t['fevals'] for t in (t.data for t in traces1 + traces2)] == \
+        list(range(1, 7))
+    for key, val in tr_a.items():
+        if key == 'time':
+            continue
+        np.testing.assert_allclose(traces2[-1].data[key], val, rtol=1e-5,
+                                   err_msg=key)
+    np.testing.assert_allclose(img_b, img_a, rtol=1e-4, atol=1e-3)
