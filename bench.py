@@ -96,30 +96,55 @@ PEAK_FLOPS = (  # per-chip bf16 peak, by device_kind substring
     ('v6', 918e12), ('v5p', 459e12), ('v5', 197.3e12), ('v4', 275e12))
 
 
+def step_flops(st):
+    """Analytic model FLOPs of one optimizer step: conv forward + the
+    input-gradient backward (no weight gradients exist in this workload)
+    for every layer up to the deepest tap, plus the Gram and style-gradient
+    matmuls. XLA's compiled cost_analysis is NOT usable here — it reports
+    ~4 GFLOPs/step at 512px because TPU convolution custom calls aren't
+    counted (analytic: ~300 GFLOPs/step)."""
+    from style_transfer2_tpu.models.vgg19 import (
+        BLOB_NAMES, CONV_SPECS, blob_index)
+    spec = st.spec()
+    deepest = max(blob_index(l) for l in spec.layers)
+    h, w = st.input_hw
+    c_in = 3
+    chans = dict(CONV_SPECS)
+    total = 0.0
+    for name in BLOB_NAMES[1:deepest + 1]:
+        if name.startswith('conv'):
+            c_out = chans[name]
+            # forward + input-grad transposed conv: 2 matmuls of
+            # 2 * HW * (9 * c_in) * c_out FLOPs each.
+            total += 2 * 2.0 * h * w * 9 * c_in * c_out
+            c_in = c_out
+        else:
+            h, w = -(-h // 2), -(-w // 2)
+    fh, fw = st.input_hw
+    feat_hw = {}
+    hh, ww = fh, fw
+    for name in BLOB_NAMES[1:]:
+        feat_hw[name] = (hh, ww)
+        if name.startswith('pool'):
+            hh, ww = -(-hh // 2), -(-ww // 2)
+    for layer in spec.style_layers:
+        hh, ww = feat_hw[layer]
+        c = chans[layer]
+        # gram (HW x C)^T (HW x C) + style grad (HW x C)(C x C).
+        total += 2 * 2.0 * hh * ww * c * c
+    return total
+
+
 def mfu_estimate(st, its_per_s):
-    """Model FLOPs utilization: XLA's own cost analysis of the compiled
-    fused step, divided by measured step time and the chip's bf16 peak.
-    Returns (mfu, tflops_per_step) or (None, None) off-TPU."""
+    """Model FLOPs utilization: analytic step FLOPs over measured step time
+    and the chip's bf16 peak. Returns (mfu, tflops_per_step) or (None,
+    None) off-TPU."""
     import jax
     kind = jax.devices()[0].device_kind
     peak = next((p for key, p in PEAK_FLOPS if key in kind), None)
     if peak is None:
         return None, None
-    try:
-        from style_transfer2_tpu.engine.steps import build_step_fns
-        spec = st.spec()
-        step_fn, _ = build_step_fns(spec, st.optimizer_name, st.precision,
-                                    use_pallas=st.use_pallas, remat=st.remat)
-        compiled = step_fn.lower(st.params, st.opt_state,
-                                 st._gather_inputs(spec),
-                                 st._step_size_device()).compile()
-        analysis = compiled.cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        flops = float(analysis['flops'])
-    except Exception as err:
-        log('cost analysis unavailable: %s' % err)
-        return None, None
+    flops = step_flops(st)
     mfu = flops * its_per_s / peak
     log('MFU: %.3g FLOPs/step at %.1f it/s vs %.3g peak -> %.1f%%'
         % (flops, its_per_s, peak, 100 * mfu))

@@ -30,6 +30,16 @@ import numpy as np
 # RGB channel means (reference worker.py:34).
 MEAN_RGB = np.float32([123.68, 116.779, 103.939])
 
+# Perf tunables, read at trace time. Both default OFF: the on-device A/B
+# (512px bf16 L-BFGS scan, profiler-timed, v5e — docs/ROUND2.md) measured
+# XLA's native path at 6.2 ms/step vs 6.8 with the conv1_1 space-to-depth
+# rewrite and 6.6 with the argmax pooling vjp. The step's actual layout-copy
+# overhead sits around the WHOLE block 1 (conv1_2's partitioned layouts),
+# which neither of these touches — kept as measured baselines for the
+# block-level rewrite.
+S2D_CONV1 = False
+POOL_ARGMAX_VJP = False
+
 # (name, out_channels) for each conv layer, in network order.
 CONV_SPECS = (
     ('conv1_1', 64), ('conv1_2', 64),
@@ -94,6 +104,49 @@ def _conv(x, w, b, precision):
     return y + b
 
 
+@jax.custom_vjp
+def _pool_2x2(x):
+    """Max over the 2x2 sub-axes of an (n, h2, 2, w2, 2, c) array.
+
+    The custom vjp replaces jnp.max's default machinery (equality mask +
+    tie-count + divide + broadcast — ~4 full-size HBM passes, measured 16%
+    of the 512px step) with a saved 2-bit argmax and ONE fused backward
+    pass. Tie routing becomes first-max-wins, which is exactly Caffe's and
+    torch's max-pool backward (the default jvp SPLITS gradient among ties
+    instead — neither matches the reference's Caffe semantics better than
+    this).
+
+    Measured NOT a win (6.6 vs 6.2 ms/step, 512px bf16 v5e): XLA compiles
+    the default max vjp into select_* convolution fusions that beat the
+    saved-argmax + masked-scatter pair, so the flag stays off."""
+    return jnp.max(x, axis=(2, 4))
+
+
+def _pool_2x2_fwd(x):
+    x00 = x[:, :, 0, :, 0, :]
+    x01 = x[:, :, 0, :, 1, :]
+    x10 = x[:, :, 1, :, 0, :]
+    x11 = x[:, :, 1, :, 1, :]
+    # >= keeps the earlier window position on ties (Caffe scan order).
+    m0 = jnp.maximum(x00, x01)
+    i0 = jnp.where(x00 >= x01, jnp.uint8(0), jnp.uint8(1))
+    m1 = jnp.maximum(x10, x11)
+    i1 = jnp.where(x10 >= x11, jnp.uint8(2), jnp.uint8(3))
+    y = jnp.maximum(m0, m1)
+    idx = jnp.where(m0 >= m1, i0, i1)
+    return y, idx
+
+
+def _pool_2x2_bwd(idx, g):
+    code = jnp.arange(4, dtype=jnp.uint8).reshape(2, 2)
+    mask = idx[:, :, None, :, None, :] == code[None, None, :, None, :, None]
+    gx = jnp.where(mask, g[:, :, None, :, None, :], 0).astype(g.dtype)
+    return (gx,)
+
+
+_pool_2x2.defvjp(_pool_2x2_fwd, _pool_2x2_bwd)
+
+
 def _max_pool_ceil(x):
     """2x2 stride-2 max pool with Caffe ceil-mode output size.
 
@@ -104,7 +157,8 @@ def _max_pool_ceil(x):
     Implemented as reshape + max over the 2x2 sub-axes rather than
     reduce_window: non-overlapping windows make them equivalent, and the
     reduce-max backward lowers to cheap elementwise fusions instead of
-    select_and_scatter (measured ~1.6 ms/step of the 512px backward).
+    select_and_scatter (measured ~1.6 ms/step of the 512px backward); the
+    custom argmax vjp above cuts that further.
     """
     n, h, w, c = x.shape
     pad_h = -h % 2
@@ -114,7 +168,68 @@ def _max_pool_ceil(x):
                     constant_values=-jnp.inf)
     h2, w2 = (h + pad_h) // 2, (w + pad_w) // 2
     x = x.reshape(n, h2, 2, w2, 2, c)
+    if POOL_ARGMAX_VJP:
+        return _pool_2x2(x)
     return jnp.max(x, axis=(2, 4))
+
+
+def _s2d_conv1_kernel(w):
+    """Expands the conv1_1 kernel (3, 3, 3, 64) into the equivalent
+    space-to-depth form (3, 3, 12, 256).
+
+    Why: a 3-input-channel convolution at full resolution is MXU-hostile —
+    XLA spatially partitions it and surrounds it (and its transpose in the
+    backward pass) with layout copies, together ~25% of the 512px bf16 step
+    (device-trace measured). Rewriting it as a 3x3 convolution over the
+    2x2-space-to-depth input (12 channels in, 4*64 out, at H/2 x W/2) is
+    numerically the same linear map with a dense-contraction shape the MXU
+    tiles natively. 4x the nominal FLOPs of the thin conv, but that conv is
+    <1% of the network's FLOPs while its inefficiency dominated the step.
+
+    Index math: s2d input channel = p*6 + q*3 + k for sub-pixel (p, q);
+    output channel = (di*2 + dj)*64 + c for output sub-pixel (di, dj);
+    kernel tap (a, b) with SAME padding covers original offset
+    u = 2a + p - di - 1 (same for v) — taps whose u/v fall outside the
+    original 3x3 window are zero.
+
+    Measured NOT a win by itself (6.8 vs 6.2 ms/step, 512px bf16 v5e): the
+    result is reshaped straight back to full resolution, so conv1_2's
+    partitioned-layout copies — the actual cost — remain."""
+    out = jnp.zeros((3, 3, 12, 256), w.dtype)
+    for a in range(3):
+        for b in range(3):
+            for p in range(2):
+                for q in range(2):
+                    for di in range(2):
+                        for dj in range(2):
+                            u = 2 * a + p - di - 1
+                            v = 2 * b + q - dj - 1
+                            if 0 <= u < 3 and 0 <= v < 3:
+                                ci = p * 6 + q * 3
+                                co = (di * 2 + dj) * 64
+                                out = out.at[a, b, ci:ci + 3,
+                                             co:co + 64].set(w[u, v])
+    return out
+
+
+def _conv1_s2d(x, w, b, precision):
+    """conv1_1 + bias via the space-to-depth rewrite (see _s2d_conv1_kernel).
+    x: (n, H, W, 3) with even H, W. Returns (n, H, W, 64)."""
+    n, h, wd, _ = x.shape
+    xs = x.reshape(n, h // 2, 2, wd // 2, 2, 3)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, wd // 2, 12)
+    kernel = _s2d_conv1_kernel(w)
+    y = jax.lax.conv_general_dilated(
+        xs, kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=precision,
+        preferred_element_type=x.dtype,
+    )
+    y = y + jnp.tile(b, 4)
+    y = y.reshape(n, h // 2, wd // 2, 2, 2, 64)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, wd, 64)
 
 
 @functools.partial(jax.jit, static_argnames=('layers', 'precision',
@@ -152,8 +267,18 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
     def conv_block(h, w, b):
         return jnp.maximum(_conv(h, w, b, precision), 0.0)
 
+    def conv1_block(h, w, b):
+        return jnp.maximum(_conv1_s2d(h, w, b, precision), 0.0)
+
     if remat:
         conv_block = jax.checkpoint(conv_block)
+        conv1_block = jax.checkpoint(conv1_block)
+
+    # The space-to-depth rewrite of the thin first conv applies in the bf16
+    # (speed) mode at even resolutions; float32 keeps the direct conv so the
+    # parity-mode summation order is untouched.
+    use_s2d = (S2D_CONV1 and compute_dtype == jnp.bfloat16
+               and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
 
     # In bf16 mode the trunk runs bf16 end-to-end (uniform dtypes keep the
     # conv vjp well-typed); feature taps are returned as float32 so the loss
@@ -164,9 +289,11 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
             break
         if name.startswith('conv'):
             p = params[name]
+            block = conv1_block if (name == 'conv1_1' and use_s2d) \
+                else conv_block
             # in-place ReLU: the tap is post-ReLU
-            h = conv_block(h, p['w'].astype(compute_dtype),
-                           p['b'].astype(compute_dtype))
+            h = block(h, p['w'].astype(compute_dtype),
+                      p['b'].astype(compute_dtype))
         else:  # pool
             h = _max_pool_ceil(h)
         if name in wanted:

@@ -129,3 +129,71 @@ def test_remat_matches_plain(rng):
                                    rtol=1e-6)
     np.testing.assert_allclose(np.asarray(vjp_a(diffs)),
                                np.asarray(vjp_b(diffs)), rtol=1e-5, atol=1e-6)
+
+
+def test_s2d_conv1_matches_direct(rng):
+    """The space-to-depth rewrite of conv1_1 is the same linear map as the
+    direct 3x3 conv (float32, both paths forced)."""
+    from style_transfer2_tpu.models.vgg19 import _conv, _conv1_s2d
+    w = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32))
+    b = jnp.asarray(rng.randn(64).astype(np.float32))
+    for h, wd in [(8, 8), (32, 16), (64, 64)]:
+        x = jnp.asarray(rng.randn(1, h, wd, 3).astype(np.float32))
+        direct = _conv(x, w, b, jax.lax.Precision.HIGHEST)
+        s2d = _conv1_s2d(x, w, b, jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                                   rtol=1e-4, atol=1e-4)
+    # And the vjp (the step differentiates through it).
+    x = jnp.asarray(rng.randn(1, 16, 16, 3).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+    gd = jax.vjp(lambda x_: _conv(x_, w, b, jax.lax.Precision.HIGHEST), x)[1](g)[0]
+    gs = jax.vjp(lambda x_: _conv1_s2d(x_, w, b, jax.lax.Precision.HIGHEST), x)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_bf16_features_parity(rng, monkeypatch):
+    """With S2D_CONV1 forced on, bf16 extract_features at even sizes stays
+    close to the f32 direct path."""
+    from style_transfer2_tpu.models import vgg19
+    monkeypatch.setattr(vgg19, 'S2D_CONV1', True)
+    jax.clear_caches()  # the flag is read at trace time
+    params = random_params(0)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32) * 20)
+    f32 = vgg19.extract_features(params, x, ('conv1_1',))['conv1_1']
+    bf16 = vgg19.extract_features(params, x, ('conv1_1',),
+                                  jax.lax.Precision.DEFAULT,
+                                  jnp.bfloat16)['conv1_1']
+    scale = np.abs(np.asarray(f32)).mean()
+    assert np.abs(np.asarray(bf16) - np.asarray(f32)).mean() < 0.03 * scale
+    jax.clear_caches()
+
+
+def test_pool_vjp_routes_to_first_argmax(rng, monkeypatch):
+    """The custom pool vjp (POOL_ARGMAX_VJP forced on) routes gradient to the
+    first max (Caffe/torch semantics), including on ties, and matches torch's
+    max_pool2d backward."""
+    from style_transfer2_tpu.models import vgg19
+    monkeypatch.setattr(vgg19, 'POOL_ARGMAX_VJP', True)
+    x = rng.randn(1, 6, 6, 4).astype(np.float32)
+    x[0, 0, 0, 0] = x[0, 0, 1, 0] = x[0, 1, 0, 0] = 7.0  # tied window
+
+    w = jnp.asarray(rng.randn(3, 3, 4).astype(np.float32))
+    gj = np.asarray(jax.grad(
+        lambda x_: jnp.sum(_max_pool_ceil(x_) * w))(jnp.asarray(x)))
+    assert gj.shape == x.shape
+    # Tied window: all gradient lands on the FIRST max position only.
+    tied = gj[0, :2, :2, 0]
+    assert tied[0, 0] != 0.0
+    assert tied[0, 1] == 0.0 and tied[1, 0] == 0.0 and tied[1, 1] == 0.0
+
+    # Full parity vs torch on untied random data.
+    x2 = rng.randn(1, 5, 7, 3).astype(np.float32)
+    g2 = rng.randn(1, 3, 4, 3).astype(np.float32)
+    gj2 = np.asarray(jax.vjp(lambda x_: _max_pool_ceil(x_),
+                             jnp.asarray(x2))[1](jnp.asarray(g2))[0])
+    xt2 = torch.from_numpy(_nchw(x2)).requires_grad_(True)
+    yt2 = F.max_pool2d(xt2, 2, 2, ceil_mode=True)
+    yt2.backward(torch.from_numpy(_nchw(g2)))
+    np.testing.assert_allclose(gj2, _nhwc(xt2.grad.numpy()), rtol=1e-6,
+                               atol=1e-6)
