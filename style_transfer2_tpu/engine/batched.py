@@ -78,7 +78,8 @@ class BatchedStyleTransfer:
         lane_inputs = {
             'content_feats': {l: jnp.zeros_like(feats[l])
                               for l in self.spec.content_layers},
-            'grams': {l: jnp.zeros((feats[l].shape[-1],) * 2, jnp.float32)
+            'grams': {l: jnp.zeros((vgg19.layer_channels(l),) * 2,
+                                   jnp.float32)
                       for l in self.spec.style_layers},
             'layer_weights': {l: jnp.asarray(v) for l, v in
                               weights_to_arrays(weights, self.spec).items()},
@@ -156,7 +157,8 @@ class BatchedStyleTransfer:
         style_feats = self.model.forward(style_x)
         lane_inputs = {
             'content_feats': {l: feats[l] for l in self.spec.content_layers},
-            'grams': {l: gram_matrix(style_feats[l])
+            'grams': {l: gram_matrix(style_feats[l],
+                                     channels=vgg19.layer_channels(l))
                       for l in self.spec.style_layers},
             'layer_weights': {l: jnp.asarray(v) for l, v in
                               weights_to_arrays(weights, self.spec).items()},

@@ -198,20 +198,25 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
 
             if has_s:
                 sw = w[1]
-                _, mh, mw, n = feat.shape
-                if use_pallas:
+                # The tap may be in the block-1 space-to-depth layout (last
+                # dim 4*c, models/vgg19.py BLOCK1_S2D); the style math only
+                # needs rows of true-channel vectors, which any pixel
+                # permutation provides.
+                n = vgg19.layer_channels(layer)
+                if use_pallas and feat.shape[-1] == n:
                     # Fused Pallas kernel: Gram accumulation + G_diff +
                     # gradient matmul in one pass (ops/pallas).
                     from ..ops.pallas import fused_style_branch
                     s_grad, gram_diff = fused_style_branch(feat, grams[layer])
                 else:
-                    gram_diff = gram_matrix(feat, precision) - grams[layer]
-                    flat = feat.reshape(mh * mw, n)
+                    gram_diff = (gram_matrix(feat, precision, channels=n)
+                                 - grams[layer])
+                    flat = feat.reshape(-1, n)
                     # Reference half-gradient, NHWC form: feat @ gram_diff
                     # (gram_diff is symmetric), scaled by 2/(c^2 * c*h*w).
                     s_grad = jnp.dot(flat, gram_diff, precision=precision,
                                      preferred_element_type=jnp.float32)
-                    s_grad = s_grad.reshape(1, mh, mw, n)
+                    s_grad = s_grad.reshape(feat.shape)
                     s_grad = s_grad * (2.0 / (jnp.float32(n * n) * size))
                 sn = norm_of(layer + ':s', _rms(s_grad))
                 s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn

@@ -253,7 +253,8 @@ class StyleTransfer:
         image = self._place_image(vgg19.preprocess(image))
         features = self.model.forward(image)
         self.grams = self._place_replicated(
-            {layer: gram_matrix(feat) for layer, feat in features.items()})
+            {layer: gram_matrix(feat, channels=vgg19.layer_channels(layer))
+             for layer, feat in features.items()})
         self._start()
         self.objective_changed()
 

@@ -40,6 +40,19 @@ MEAN_RGB = np.float32([123.68, 116.779, 103.939])
 S2D_CONV1 = False
 POOL_ARGMAX_VJP = False
 
+# Run the WHOLE first block (conv1_1 -> ReLU -> conv1_2 -> ReLU -> pool1) in
+# the 2x2 space-to-depth domain: H/2 x W/2 spatial, 4x-stacked channels, with
+# pool1 an elementwise max over the 4 sub-pixel blocks that lands directly on
+# pool1's natural (H/2, W/2, 64) output. Never materializes a full-resolution
+# 64-channel activation, which is what XLA spatially partitions and
+# surrounds with layout copies (device-trace measured: block 1 was ~43% of
+# the 512px bf16 step, half of it pure copies). Block-1 feature taps are
+# returned in s2d layout — every loss is a pixel-permutation-invariant
+# reduction, so consumers only need the true channel count (layer_channels).
+# True  = on for bfloat16 at even H, W (the speed mode; float32 keeps the
+#         reference-exact summation order). 'always' = also float32 (tests).
+BLOCK1_S2D = True
+
 # (name, out_channels) for each conv layer, in network order.
 CONV_SPECS = (
     ('conv1_1', 64), ('conv1_2', 64),
@@ -70,6 +83,16 @@ for _name, _out in CONV_SPECS:
 def blob_index(name):
     """Position of a blob in forward order; raises ValueError if unknown."""
     return BLOB_NAMES.index(name)
+
+
+def layer_channels(name):
+    """True semantic channel count of a blob (a pool blob has its block's
+    conv width), independent of any internal space-to-depth tap layout."""
+    if name == 'data':
+        return 3
+    if name.startswith('conv'):
+        return dict(CONV_SPECS)[name]
+    return dict(CONV_SPECS)['conv%s_1' % name[4:]]
 
 
 def preprocess(image):
@@ -173,29 +196,25 @@ def _max_pool_ceil(x):
     return jnp.max(x, axis=(2, 4))
 
 
-def _s2d_conv1_kernel(w):
-    """Expands the conv1_1 kernel (3, 3, 3, 64) into the equivalent
-    space-to-depth form (3, 3, 12, 256).
+def _s2d_kernel(w):
+    """Expands a 3x3 SAME-padding kernel (3, 3, C_in, C_out) into the
+    equivalent kernel (3, 3, 4*C_in, 4*C_out) over the 2x2 space-to-depth
+    domain: a stride-1 conv over (H/2, W/2, 4*C_in) producing
+    (H/2, W/2, 4*C_out) is the same linear map as the full-resolution conv.
 
-    Why: a 3-input-channel convolution at full resolution is MXU-hostile —
-    XLA spatially partitions it and surrounds it (and its transpose in the
-    backward pass) with layout copies, together ~25% of the 512px bf16 step
-    (device-trace measured). Rewriting it as a 3x3 convolution over the
-    2x2-space-to-depth input (12 channels in, 4*64 out, at H/2 x W/2) is
-    numerically the same linear map with a dense-contraction shape the MXU
-    tiles natively. 4x the nominal FLOPs of the thin conv, but that conv is
-    <1% of the network's FLOPs while its inefficiency dominated the step.
-
-    Index math: s2d input channel = p*6 + q*3 + k for sub-pixel (p, q);
-    output channel = (di*2 + dj)*64 + c for output sub-pixel (di, dj);
-    kernel tap (a, b) with SAME padding covers original offset
-    u = 2a + p - di - 1 (same for v) — taps whose u/v fall outside the
-    original 3x3 window are zero.
-
-    Measured NOT a win by itself (6.8 vs 6.2 ms/step, 512px bf16 v5e): the
-    result is reshaped straight back to full resolution, so conv1_2's
-    partitioned-layout copies — the actual cost — remain."""
-    out = jnp.zeros((3, 3, 12, 256), w.dtype)
+    Index math: s2d input channel = (p*2 + q)*C_in + k for sub-pixel (p, q);
+    output channel = (di*2 + dj)*C_out + c for output sub-pixel (di, dj);
+    kernel tap (a, b) covers original offset u = 2a + p - di - 1 (same for
+    v) — taps whose u/v fall outside the original 3x3 window are zero, so
+    3/4 of the expanded kernel is structural zeros (4x nominal FLOPs for
+    the same math). Worth it when the direct conv's channel count is
+    MXU-hostile at full resolution (block 1); see BLOCK1_S2D."""
+    cin, cout = w.shape[2], w.shape[3]
+    # One contraction against a constant 0/1 selector (instead of a chain of
+    # 36 scatter writes XLA fails to hoist out of the step scan): the
+    # selector picks, per (tap, input block, output block), which original
+    # tap lands there.
+    sel = np.zeros((3, 3, 4, 4, 9), np.float32)
     for a in range(3):
         for b in range(3):
             for p in range(2):
@@ -205,20 +224,47 @@ def _s2d_conv1_kernel(w):
                             u = 2 * a + p - di - 1
                             v = 2 * b + q - dj - 1
                             if 0 <= u < 3 and 0 <= v < 3:
-                                ci = p * 6 + q * 3
-                                co = (di * 2 + dj) * 64
-                                out = out.at[a, b, ci:ci + 3,
-                                             co:co + 64].set(w[u, v])
-    return out
+                                sel[a, b, p * 2 + q, di * 2 + dj,
+                                    u * 3 + v] = 1.0
+    w9 = w.reshape(9, cin, cout)
+    out = jnp.einsum('abPBk,kio->abPiBo', jnp.asarray(sel, w.dtype), w9)
+    return out.reshape(3, 3, 4 * cin, 4 * cout)
+
+
+# A third variant was measured and REJECTED: folding the space-to-depth
+# transform into conv1_1 as a 5x5 stride-2 convolution applied directly to
+# the full-resolution (n, H, W, 3) input. Forward was fine, but XLA lowers
+# the BACKWARD (transposed strided conv producing the full-res 3-channel
+# input gradient) to a 2.6 ms/step fusion — 7.3 ms/step total vs 5.4 for
+# the materialized transform (512px bf16 v5e). The explicit
+# _space_to_depth costs ~0.6 ms/step in both directions combined; the
+# strided-conv backward costs 4x that.
+
+
+def _space_to_depth(x):
+    """(n, H, W, c) -> (n, H/2, W/2, 4*c), sub-pixel-major channel blocks
+    (block index p*2 + q for row/col offsets p, q). Requires even H, W."""
+    n, h, w, c = x.shape
+    xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(y, c):
+    """Inverse of _space_to_depth: (n, H/2, W/2, 4*c) -> (n, H, W, c)."""
+    n, h2, w2, _ = y.shape
+    y = y.reshape(n, h2, w2, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h2, 2 * w2, c)
 
 
 def _conv1_s2d(x, w, b, precision):
-    """conv1_1 + bias via the space-to-depth rewrite (see _s2d_conv1_kernel).
-    x: (n, H, W, 3) with even H, W. Returns (n, H, W, 64)."""
-    n, h, wd, _ = x.shape
-    xs = x.reshape(n, h // 2, 2, wd // 2, 2, 3)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, wd // 2, 12)
-    kernel = _s2d_conv1_kernel(w)
+    """conv1_1 + bias via the space-to-depth rewrite, reshaped straight back
+    to full resolution (the S2D_CONV1 variant; superseded by BLOCK1_S2D).
+
+    Measured NOT a win by itself (6.8 vs 6.2 ms/step, 512px bf16 v5e): the
+    immediate reshape back means conv1_2's partitioned-layout copies — the
+    actual cost — remain."""
+    xs = _space_to_depth(x)
+    kernel = _s2d_kernel(w)
     y = jax.lax.conv_general_dilated(
         xs, kernel,
         window_strides=(1, 1),
@@ -228,8 +274,7 @@ def _conv1_s2d(x, w, b, precision):
         preferred_element_type=x.dtype,
     )
     y = y + jnp.tile(b, 4)
-    y = y.reshape(n, h // 2, wd // 2, 2, 2, 64)
-    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, wd, 64)
+    return _depth_to_space(y, w.shape[3])
 
 
 @functools.partial(jax.jit, static_argnames=('layers', 'precision',
@@ -270,21 +315,56 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
     def conv1_block(h, w, b):
         return jnp.maximum(_conv1_s2d(h, w, b, precision), 0.0)
 
+    def s2d_conv_block(h, w, b):
+        return jnp.maximum(
+            _conv(h, _s2d_kernel(w), jnp.tile(b, 4), precision), 0.0)
+
     if remat:
         conv_block = jax.checkpoint(conv_block)
         conv1_block = jax.checkpoint(conv1_block)
+        s2d_conv_block = jax.checkpoint(s2d_conv_block)
 
-    # The space-to-depth rewrite of the thin first conv applies in the bf16
-    # (speed) mode at even resolutions; float32 keeps the direct conv so the
-    # parity-mode summation order is untouched.
-    use_s2d = (S2D_CONV1 and compute_dtype == jnp.bfloat16
-               and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+    even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    # The space-to-depth rewrite of the thin first conv alone (measured off).
+    use_s2d = (S2D_CONV1 and compute_dtype == jnp.bfloat16 and even)
+    # The whole-block-1 space-to-depth path: bf16 (speed) mode at even
+    # resolutions; float32 keeps the direct convs so the parity-mode
+    # summation order is untouched ('always' forces it on, for tests).
+    use_b1 = (BLOCK1_S2D and even and not use_s2d
+              and (compute_dtype == jnp.bfloat16 or BLOCK1_S2D == 'always'))
 
     # In bf16 mode the trunk runs bf16 end-to-end (uniform dtypes keep the
     # conv vjp well-typed); feature taps are returned as float32 so the loss
     # math stays full precision.
     h = x.astype(compute_dtype)
-    for idx, name in enumerate(BLOB_NAMES[1:], start=1):
+    start = 1
+    if use_b1 and deepest >= 1:
+        # Block 1 in the s2d domain. conv1_1/conv1_2 taps come out in s2d
+        # layout (n, H/2, W/2, 256) — semantically a permutation of the
+        # (n, H, W, 64) pixels, which every loss reduction is invariant to
+        # (consumers use layer_channels for the true channel count). pool1
+        # is the elementwise max over the 4 sub-pixel blocks: exactly the
+        # 2x2 window max, already at pool1's natural (n, H/2, W/2, 64).
+        # The barrier pins the bf16 cast BEFORE the 6-D transform: XLA
+        # otherwise commutes them and runs the lane-hostile shuffle at f32
+        # width (trace-measured 0.2 ms/step extra).
+        h = jax.lax.optimization_barrier(h)
+        h = _space_to_depth(h)
+        for name in ('conv1_1', 'conv1_2'):
+            if blob_index(name) > deepest:
+                break
+            p = params[name]
+            h = s2d_conv_block(h, p['w'].astype(compute_dtype),
+                               p['b'].astype(compute_dtype))
+            if name in wanted:
+                feats[name] = h.astype(jnp.float32)
+        if deepest >= blob_index('pool1'):
+            nb, h2, w2, c4 = h.shape
+            h = h.reshape(nb, h2, w2, 4, c4 // 4).max(axis=3)
+            if 'pool1' in wanted:
+                feats['pool1'] = h.astype(jnp.float32)
+        start = blob_index('pool1') + 1
+    for idx, name in enumerate(BLOB_NAMES[start:], start=start):
         if idx > deepest:
             break
         if name.startswith('conv'):

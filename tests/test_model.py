@@ -197,3 +197,73 @@ def test_pool_vjp_routes_to_first_argmax(rng, monkeypatch):
     yt2.backward(torch.from_numpy(_nchw(g2)))
     np.testing.assert_allclose(gj2, _nhwc(xt2.grad.numpy()), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_block1_s2d_feature_parity(rng, monkeypatch):
+    """The whole-block-1 space-to-depth path (BLOCK1_S2D='always', f32)
+    produces the same features as the direct path: conv taps up to a known
+    pixel permutation (s2d layout), pool1 and deeper taps exactly."""
+    from style_transfer2_tpu.models import vgg19
+    params = random_params(0)
+    x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32) * 30)
+    layers = ('conv1_1', 'conv1_2', 'pool1', 'conv2_1')
+    monkeypatch.setattr(vgg19, 'BLOCK1_S2D', False)
+    jax.clear_caches()
+    direct = {k: np.asarray(v) for k, v in
+              vgg19.extract_features(params, x, layers).items()}
+    monkeypatch.setattr(vgg19, 'BLOCK1_S2D', 'always')
+    jax.clear_caches()
+    s2d = vgg19.extract_features(params, x, layers)
+    for name in ('conv1_1', 'conv1_2'):
+        assert s2d[name].shape == (1, 16, 24, 256)
+        full = np.asarray(vgg19._depth_to_space(s2d[name], 64))
+        np.testing.assert_allclose(full, direct[name], rtol=1e-4, atol=1e-3)
+    for name in ('pool1', 'conv2_1'):
+        assert s2d[name].shape == direct[name].shape
+        np.testing.assert_allclose(np.asarray(s2d[name]), direct[name],
+                                   rtol=1e-4, atol=1e-3)
+    jax.clear_caches()
+
+
+def test_block1_s2d_objective_parity(rng, monkeypatch):
+    """Full objective (content + style + deepdream on block-1 layers, plus
+    tv/p) agrees between the direct and block-1 s2d paths at f32: loss,
+    gradient, and every trace scalar."""
+    from style_transfer2_tpu.models import vgg19
+    from style_transfer2_tpu.engine.objective import (
+        ObjectiveSpec, empty_norms, make_objective, scalars_to_arrays,
+        weights_to_arrays)
+    from style_transfer2_tpu.ops.gram import gram_matrix
+    params = random_params(0)
+    content = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32) * 40)
+    style = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32) * 40)
+    x = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32) * 40)
+    weights = {'content': {'conv1_2': 1.0, 'conv3_1': 0.5},
+               'style': {'conv1_1': 1.0, 'conv2_1': 1.0},
+               'deepdream': {'conv1_1': 0.3}}
+    scal = {'tv': 2.0, 'p': 1.0}
+    spec = ObjectiveSpec.from_weights(weights, scal)
+    lw = {l: jnp.asarray(v) for l, v in
+          weights_to_arrays(weights, spec).items()}
+    sc = {k: jnp.asarray(v) for k, v in scalars_to_arrays(scal).items()}
+    results = {}
+    for flag in (False, 'always'):
+        monkeypatch.setattr(vgg19, 'BLOCK1_S2D', flag)
+        jax.clear_caches()
+        model = vgg19.VGG19Features(params)
+        cf = model.forward(content, spec.content_layers)
+        sf = model.forward(style, spec.style_layers)
+        grams = {l: gram_matrix(sf[l], channels=vgg19.layer_channels(l))
+                 for l in spec.style_layers}
+        obj = make_objective(spec, jax.lax.Precision.HIGHEST, jnp.float32)
+        nv, ns = empty_norms(spec)
+        loss, grad, _, trace = obj(params, x, cf, grams, lw, sc, nv, ns)
+        results[flag] = (float(loss), np.asarray(grad),
+                         np.float64([float(t) for t in trace]))
+    jax.clear_caches()
+    l0, g0, t0 = results[False]
+    l1, g1, t1 = results['always']
+    assert abs(l1 - l0) < 1e-4 * abs(l0)
+    np.testing.assert_allclose(g1, g0, rtol=1e-3,
+                               atol=1e-5 * np.abs(g0).max())
+    np.testing.assert_allclose(t1, t0, rtol=1e-3)

@@ -189,3 +189,47 @@ def test_real_caffemodel_end_to_end():
     assert st.start()
     losses = [st.step()[1]['loss'] for _ in range(8)]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_caffemodel_faithful_structure(tmp_path, rng):
+    """A synthetic file with the REAL vgg19.caffemodel's layer structure —
+    interleaved parameter-free ReLU/pool/dropout layers, plus fc6/fc7/fc8
+    carrying their own blobs (legacy V1 encoding, like the file
+    download_models.sh fetches) — parses to exactly the conv weights and
+    ignores everything else (reference load path worker.py:46-61)."""
+    out = _len_delim(1, b'VGG_ILSVRC_19_layers')
+    expected = {}
+    block_of = {}
+    for layer_name, _ in CONV_SPECS:
+        block_of.setdefault(layer_name[4], []).append(layer_name)
+    for block, convs in sorted(block_of.items()):
+        for conv in convs:
+            in_c = _IN_CHANNELS[conv]
+            out_c = dict(CONV_SPECS)[conv]
+            w = rng.randn(out_c, in_c, 3, 3).astype(np.float32)
+            b = rng.randn(out_c).astype(np.float32)
+            out += _encode_layer(conv, [
+                _encode_blob(w.ravel(), (out_c, in_c, 3, 3),
+                             legacy_dims=True),
+                _encode_blob(b, (out_c,), legacy_dims=True)], modern=False)
+            out += _encode_layer('relu' + conv[4:], [], modern=False)
+            expected[conv] = {
+                'w': np.ascontiguousarray(w.transpose(2, 3, 1, 0)), 'b': b}
+        out += _encode_layer('pool%s' % block, [], modern=False)
+    # FC layers carry blobs the parser must skip without reshaping (their
+    # true shapes don't fit any conv layer). Scaled-down data, real names.
+    for fc, shape in (('fc6', (4096, 512)), ('fc7', (4096, 409)),
+                      ('fc8', (1000, 40))):
+        w = rng.randn(*shape).astype(np.float32)
+        out += _encode_layer(fc, [
+            _encode_blob(w.ravel(), shape, legacy_dims=True),
+            _encode_blob(np.zeros(shape[0], np.float32), (shape[0],),
+                         legacy_dims=True)], modern=False)
+        out += _encode_layer('drop' + fc[2:], [], modern=False)
+    path = tmp_path / 'faithful.caffemodel'
+    path.write_bytes(out)
+    params = params_from_caffemodel(path)
+    assert set(params) == set(expected)
+    for name in expected:
+        np.testing.assert_array_equal(params[name]['w'], expected[name]['w'])
+        np.testing.assert_array_equal(params[name]['b'], expected[name]['b'])
