@@ -241,10 +241,26 @@ def _s2d_kernel(w):
 # strided-conv backward costs 4x that.
 
 
+# How the input's space-to-depth shuffle is expressed, A/B-measurable:
+# 'slice'     — free W-merging reshape + two stride-2 H slices + concat
+#               (channel order p*2c + q*c + k, identical to the transpose
+#               form); keeps the shuffle off the lane dimension.
+# 'transpose' — the direct 6-D reshape/transpose (measured 0.33 ms/step
+#               round trip at 512px bf16; the current default).
+S2D_TRANSFORM = 'transpose'
+
+
 def _space_to_depth(x):
     """(n, H, W, c) -> (n, H/2, W/2, 4*c), sub-pixel-major channel blocks
-    (block index p*2 + q for row/col offsets p, q). Requires even H, W."""
+    (channel (p*2 + q)*c + k for row/col offsets p, q). Requires even
+    H, W."""
     n, h, w, c = x.shape
+    if S2D_TRANSFORM == 'slice':
+        # Merge (w-pair, channel) into 2c lanes for free (row-major), then
+        # split even/odd rows: channel = p*2c + (q*c + k) — the same
+        # block-major order as the transpose form.
+        xs = x.reshape(n, h, w // 2, 2 * c)
+        return jnp.concatenate([xs[:, 0::2], xs[:, 1::2]], axis=-1)
     xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
 
