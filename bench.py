@@ -55,11 +55,10 @@ def load_images():
     return content, style
 
 
-def bench_tpu(params, content, style):
+def bench_tpu(params, content, style, precision, n_timed=N_TIMED):
     from style_transfer2_tpu.engine import StyleTransfer
 
-    st = StyleTransfer(params, precision=os.environ.get('BENCH_PRECISION',
-                                                        'float32'))
+    st = StyleTransfer(params, precision=precision)
     st.set_weights(WEIGHTS, SCALARS)
     st.set_optimizer('lbfgs')
     st.set_step_size(1.0)
@@ -79,7 +78,7 @@ def bench_tpu(params, content, style):
     # every chunk for transparency.
     rates = []
     done = 0
-    while done < N_TIMED:
+    while done < n_timed:
         t0 = time.perf_counter()
         _, trace = st.run_steps(CHUNK, fetch_image=False)
         rates.append(CHUNK / (time.perf_counter() - t0))
@@ -311,12 +310,12 @@ def main():
     content, style = load_images()
     log('content %s style %s' % (content.shape, style.shape))
 
-    tpu_its, st = bench_tpu(params, content, style)
+    precision = os.environ.get('BENCH_PRECISION', 'float32')
+    tpu_its, st = bench_tpu(params, content, style, precision)
     mfu, tflops_step = mfu_estimate(st, tpu_its)
     del st
     cpu_its = bench_cpu_reference(params, content, style)
 
-    precision = os.environ.get('BENCH_PRECISION', 'float32')
     result = {
         'metric': 'optimization iterations/sec/chip at 512px '
                   '(VGG-19 style transfer, L-BFGS, %s)' % precision,
@@ -327,6 +326,19 @@ def main():
     if mfu is not None:
         result['mfu'] = mfu
         result['tflops_per_step'] = tflops_step
+
+    # The speed-mode variant on the same line (the headline stays f32 for
+    # round-over-round comparability; bf16 is what production serves).
+    other = 'bfloat16' if precision == 'float32' else 'float32'
+    if os.environ.get('BENCH_BOTH', '1') != '0':
+        other_its, st2 = bench_tpu(params, content, style, other,
+                                   n_timed=N_TIMED // 2)
+        other_mfu, _ = mfu_estimate(st2, other_its)
+        del st2
+        result['%s_its_per_s' % other] = round(other_its, 3)
+        result['%s_vs_baseline' % other] = round(other_its / cpu_its, 2)
+        if other_mfu is not None:
+            result['%s_mfu' % other] = other_mfu
 
     dev = jax.devices()[0]
     on_tpu = 'tpu' in (str(dev.platform) + str(dev.device_kind)).lower()

@@ -94,7 +94,8 @@ class SingleSessionTier(sn.EngineActions):
             steps_per_dispatch=self.config.getint('steps_per_dispatch', 1),
             image_every=self.config.getint('image_every', 1),
             adaptive_max_steps=self.config.getint('adaptive_dispatch', 30),
-            pipeline_depth=self.config.getint('pipeline_depth', 2))
+            pipeline_depth=self.config.getint('pipeline_depth', 2),
+            dispatch_timeout=self.config.getfloat('dispatch_timeout', 0.0))
         self.driver_task = asyncio.ensure_future(self.driver.run())
         if self.pump_task is not None:
             self.pump_task.cancel()

@@ -23,13 +23,21 @@ from . import messages as m
 logger = logging.getLogger('driver')
 
 
+class DeviceTimeoutError(RuntimeError):
+    """A device dispatch exceeded dispatch_timeout — the backend (or the
+    tunnel to it) is wedged, not merely slow. Raised out of the driver task
+    so the app's supervisor respawns the driver with backoff instead of the
+    session hanging silently forever."""
+
+
 class Driver:
     """Owns the device and the StyleTransfer engine; talks to the app over
     a pair of asyncio queues."""
 
     def __init__(self, params, precision='float32', placement=None,
                  loop=None, use_pallas=False, steps_per_dispatch=1,
-                 image_every=1, adaptive_max_steps=0, pipeline_depth=2):
+                 image_every=1, adaptive_max_steps=0, pipeline_depth=2,
+                 dispatch_timeout=0.0):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
         iterations (the reference guarantee is 1, the default).
@@ -49,13 +57,20 @@ class Driver:
         behind the compute of the next, worth ~25% throughput at identical
         worst-case control latency (still adaptive_max_steps iterations of
         in-flight work). Programs compiled per resolution: K=1 plus one per
-        distinct sub-chunk length."""
+        distinct sub-chunk length.
+        dispatch_timeout > 0 (seconds) is the device-hang watchdog: a
+        single device call exceeding it raises DeviceTimeoutError out of
+        the driver task, so a wedged backend/tunnel becomes a supervised
+        driver restart (with backoff) instead of a silent hang. Size it
+        WELL above the worst first-compile time for the resolution (remote
+        compiles take minutes); 0 disables."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.image_every = max(1, int(image_every))
         self.adaptive_max_steps = max(0, int(adaptive_max_steps))
         self.pipeline_depth = max(1, int(pipeline_depth))
+        self.dispatch_timeout = float(dispatch_timeout)
         self._recent_control = False
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
@@ -67,8 +82,26 @@ class Driver:
         self.should_stop = False
 
     async def _device(self, fn, *args):
-        """Runs a blocking device call off the event loop."""
-        return await self.loop.run_in_executor(self.executor, fn, *args)
+        """Runs a blocking device call off the event loop. With the
+        watchdog armed, a call that outlives dispatch_timeout raises
+        DeviceTimeoutError (the stuck executor thread is abandoned — a
+        fresh Driver brings a fresh executor)."""
+        fut = self.loop.run_in_executor(self.executor, fn, *args)
+        if self.dispatch_timeout <= 0:
+            return await fut
+        try:
+            # shield: an executor future can't interrupt its thread, and
+            # wait_for's cancel would otherwise BLOCK until the wedged call
+            # returns — shield lets the timeout fire while the thread is
+            # abandoned mid-call.
+            return await asyncio.wait_for(asyncio.shield(fut),
+                                          self.dispatch_timeout)
+        except asyncio.TimeoutError:
+            logger.error('device call %s exceeded the %.1fs watchdog — '
+                         'backend wedged; abandoning this driver',
+                         getattr(fn, '__name__', fn), self.dispatch_timeout)
+            raise DeviceTimeoutError(
+                'device dispatch exceeded %.1fs' % self.dispatch_timeout)
 
     async def start(self):
         await self.out_queue.put(m.WorkerReady(layers=self.transfer.layers()))

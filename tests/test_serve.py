@@ -684,3 +684,39 @@ def test_begin_collect_matches_run_steps():
         np.testing.assert_allclose(traces2[-1].data[key], val, rtol=1e-5,
                                    err_msg=key)
     np.testing.assert_allclose(img_b, img_a, rtol=1e-4, atol=1e-3)
+
+
+def test_driver_dispatch_watchdog():
+    """A wedged device call (the backend/tunnel hang failure mode) must
+    raise DeviceTimeoutError out of the driver task within dispatch_timeout
+    — the app's supervisor then respawns with backoff — instead of the
+    session hanging silently."""
+    import time as _time
+
+    from style_transfer2_tpu.serve.driver import DeviceTimeoutError
+
+    async def body():
+        driver = Driver(random_params(0))
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+
+        rng = np.random.RandomState(2)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+        await _drain_until(driver, m.Iterate)
+
+        # Arm the watchdog only once warm (first calls legitimately carry
+        # compiles), then wedge the device: every step now blocks far past
+        # the timeout.
+        driver.dispatch_timeout = 0.3
+        driver.transfer.step = lambda fetch=True: _time.sleep(30)
+        t0 = asyncio.get_event_loop().time()
+        await _drain_until(driver, m.Shutdown)  # finally-block farewell
+        with pytest.raises(DeviceTimeoutError):
+            await task
+        assert asyncio.get_event_loop().time() - t0 < 5.0
+    run(body())
