@@ -149,6 +149,12 @@ class PooledTier:
         self.tasks = []
         self.instance_id = os.urandom(8).hex()
         self.router = None
+        # Set when a device call exceeds pool_dispatch_timeout: the backend
+        # (or tunnel) is wedged. Stepping stops, router heartbeats stop (so
+        # the LB expires this instance and routes new users elsewhere), and
+        # /stats shows it — instead of a zombie instance that still answers
+        # HTTP but never iterates.
+        self.wedged = False
 
     # -- buckets ------------------------------------------------------------
 
@@ -193,17 +199,40 @@ class PooledTier:
     def engine_of(self, sess):
         return self.engines[sess.bucket_hw]
 
+    async def _device_call(self, fn, *args, **kwargs):
+        """One executor-thread device call under the watchdog: exceeding
+        pool_dispatch_timeout marks the tier wedged and raises (shield —
+        the stuck thread can't be interrupted, only abandoned). Size the
+        timeout WELL above the worst cold-compile for the largest bucket;
+        0 (default) disables."""
+        import functools
+
+        from .driver import DeviceTimeoutError
+        loop = asyncio.get_event_loop()
+        fut = loop.run_in_executor(self.executor,
+                                   functools.partial(fn, *args, **kwargs))
+        timeout = self.config.getfloat('pool_dispatch_timeout', 0.0)
+        if timeout <= 0:
+            return await fut
+        try:
+            return await asyncio.wait_for(asyncio.shield(fut), timeout)
+        except asyncio.TimeoutError:
+            self.wedged = True
+            logger.critical(
+                'device call %s exceeded the %.1fs watchdog — backend '
+                'wedged; stepping stops and router heartbeats cease',
+                getattr(fn, '__name__', fn), timeout)
+            raise DeviceTimeoutError(
+                'device dispatch exceeded %.1fs' % timeout)
+
     async def engine_op(self, fn, *args, **kwargs):
         """Runs an engine/session mutation atomically with respect to the
         stepping task: the tick lock excludes an in-flight dispatch+fan-out
         (whose completion writes engine state back and whose fan-out reads
         session bindings), and the single executor thread keeps all device
         work serialized."""
-        import functools
         async with self.tick_lock:
-            loop = asyncio.get_event_loop()
-            return await loop.run_in_executor(
-                self.executor, functools.partial(fn, *args, **kwargs))
+            return await self._device_call(fn, *args, **kwargs)
 
     def _drop_empty_buckets(self):
         for hw, engine in list(self.engines.items()):
@@ -342,34 +371,37 @@ class PooledTier:
         1) — then fans the iterate bookkeeping out to the sessions. The
         image snapshots once per tick; each fused step still gets its own
         iterateInfo trace."""
+        from .driver import DeviceTimeoutError
         k = self.config.getint('pool_steps_per_dispatch', 1)
-        loop = asyncio.get_event_loop()
-        while True:
-            busy_engines = [e for e in self.engines.values()
-                            if e.any_running()]
-            if not busy_engines:
-                self.wake.clear()
-                await self.wake.wait()
-                continue
-            for engine in busy_engines:
-                # One tick = dispatch + fan-out, atomic vs. engine_op
-                # mutations (a migration interleaved here would re-bind the
-                # session while we hand it this bucket's results).
-                async with self.tick_lock:
-                    if not engine.any_running():
-                        continue
-                    by_key = {(s.bucket_hw, s.lane): s
-                              for s in self.sessions.values()}
-                    lane_traces = await loop.run_in_executor(
-                        self.executor, engine.run_steps_all, k)
-                    for lane, traces in lane_traces.items():
-                        sess = by_key.get((engine.hw, lane))
-                        if sess is None:
+        try:
+            while True:
+                busy_engines = [e for e in self.engines.values()
+                                if e.any_running()]
+                if not busy_engines:
+                    self.wake.clear()
+                    await self.wake.wait()
+                    continue
+                for engine in busy_engines:
+                    # One tick = dispatch + fan-out, atomic vs. engine_op
+                    # mutations (a migration interleaved here would re-bind
+                    # the session while we hand it this bucket's results).
+                    async with self.tick_lock:
+                        if not engine.any_running():
                             continue
-                        image = await loop.run_in_executor(
-                            self.executor, engine.lane_image, lane)
-                        sess.note_iterates(engine.t[lane], image, traces)
-            await asyncio.sleep(0)
+                        by_key = {(s.bucket_hw, s.lane): s
+                                  for s in self.sessions.values()}
+                        lane_traces = await self._device_call(
+                            engine.run_steps_all, k)
+                        for lane, traces in lane_traces.items():
+                            sess = by_key.get((engine.hw, lane))
+                            if sess is None:
+                                continue
+                            image = await self._device_call(
+                                engine.lane_image, lane)
+                            sess.note_iterates(engine.t[lane], image, traces)
+                await asyncio.sleep(0)
+        except DeviceTimeoutError:
+            logger.critical('drive loop stopped by the device watchdog')
 
     async def expire_idle(self):
         timeout = self.config.getint('pool_session_timeout', 300)
@@ -434,6 +466,7 @@ class PooledTier:
         return render('stats.html', {
             'instances': sum(e.max_lanes for e in self.engines.values()),
             'sessions': len(self.sessions),
+            'health': 'WEDGED (device watchdog)' if self.wedged else 'ok',
             'timestamp': time.asctime(time.gmtime()),
             'loadavg': os.getloadavg(),
             'devices': ', '.join(str(d)
@@ -476,6 +509,7 @@ class PooledTier:
             host=config.get('pool_host', config['http_host']),
             port=config.get('pool_port', config['http_port']),
             capacity=default_engine.max_lanes)
+        self.router.enabled_check = lambda: not self.wedged
         if self.router.configured:
             self.tasks.append(asyncio.ensure_future(self.router.heartbeat()))
 

@@ -279,3 +279,36 @@ def test_pool_size_migration_warm_start(pool_client):
 
         await a.ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_device_watchdog(pool_client):
+    """A wedged device call marks the tier wedged: stepping stops, router
+    heartbeats are disabled, and /stats reports it — instead of a zombie
+    instance that still answers HTTP but never iterates."""
+    import time as _time
+
+    client, loop, app = pool_client
+
+    async def body():
+        tier = app['tier']
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        await a.send({'type': 'start'})
+        await a.recv_until('iterateInfo')  # warm: compiles done
+
+        # Arm the watchdog (read per call) and wedge the engine.
+        tier.config['pool_dispatch_timeout'] = '0.3'
+        engine = next(iter(tier.engines.values()))
+        engine.run_steps_all = lambda k: _time.sleep(30)
+
+        for _ in range(100):
+            if tier.wedged:
+                break
+            await asyncio.sleep(0.1)
+        assert tier.wedged
+        assert not tier.router.enabled_check()
+
+        resp = await client.get('/stats')
+        assert 'WEDGED' in await resp.text()
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 120))
