@@ -267,3 +267,17 @@ def test_block1_s2d_objective_parity(rng, monkeypatch):
     np.testing.assert_allclose(g1, g0, rtol=1e-3,
                                atol=1e-5 * np.abs(g0).max())
     np.testing.assert_allclose(t1, t0, rtol=1e-3)
+
+
+def test_s2d_transform_forms_agree(rng, monkeypatch):
+    """The 'slice' and 'transpose' forms of _space_to_depth are the same
+    permutation (and _depth_to_space inverts both)."""
+    from style_transfer2_tpu.models import vgg19
+    x = jnp.asarray(rng.randn(2, 8, 12, 3).astype(np.float32))
+    monkeypatch.setattr(vgg19, 'S2D_TRANSFORM', 'transpose')
+    a = np.asarray(vgg19._space_to_depth(x))
+    monkeypatch.setattr(vgg19, 'S2D_TRANSFORM', 'slice')
+    b = np.asarray(vgg19._space_to_depth(x))
+    np.testing.assert_array_equal(a, b)
+    back = np.asarray(vgg19._depth_to_space(jnp.asarray(b), 3))
+    np.testing.assert_array_equal(back, np.asarray(x))
