@@ -215,3 +215,70 @@ def test_spatial_sharding_with_scan():
         np.testing.assert_allclose(trace_s[key], trace_u[key],
                                    rtol=5e-4, atol=1e-6, err_msg=key)
     np.testing.assert_allclose(img_s, img_u, rtol=1e-3, atol=0.1)
+
+
+def _run_transfer_prec(placement, precision, n_steps=3):
+    rng = np.random.RandomState(3)
+    st = StyleTransfer(random_params(2), precision=precision,
+                       placement=placement)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer('lbfgs')
+    st.set_step_size(1.0)
+    st.set_content(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+    st.set_style(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+    st.set_input(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+    assert st.start()
+    traces = []
+    img = None
+    for _ in range(n_steps):
+        img, trace = st.step()
+        traces.append(trace)
+    return img, traces
+
+
+def test_spatial_sharding_bf16_block1_s2d():
+    """bf16 at an even size activates the block-1 space-to-depth path; it
+    must compile and track the unsharded bf16 run under GSPMD spatial
+    sharding (reduction orders differ -> loose bf16 tolerances)."""
+    mesh = make_mesh('2x4')
+    img_sh, traces_sh = _run_transfer_prec(SpatialPlacement(mesh), 'bfloat16')
+    img_un, traces_un = _run_transfer_prec(None, 'bfloat16')
+    for ts, tu in zip(traces_sh, traces_un):
+        assert np.isfinite(ts['loss'])
+        np.testing.assert_allclose(ts['loss'], tu['loss'], rtol=2e-2)
+    assert img_sh.shape == img_un.shape
+    np.testing.assert_allclose(img_sh, img_un, rtol=0.1, atol=3.0)
+
+
+def test_batched_engine_bf16_block1_s2d():
+    """The batched (vmapped) engine in bf16 at an even size — the pooled
+    serving configuration that exercises s2d under vmap — steps cleanly
+    with per-lane traces tracking independent bf16 engines."""
+    from style_transfer2_tpu.engine.batched import BatchedStyleTransfer
+    params = random_params(2)
+    rng = np.random.RandomState(5)
+    imgs = [[rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+             for _ in range(3)] for _ in range(2)]
+    eng = BatchedStyleTransfer(params, WEIGHTS, SCALARS, (32, 32),
+                               max_lanes=2, optimizer='lbfgs',
+                               precision='bfloat16')
+    for content, style, inp in imgs:
+        eng.add_job(content, style, inp)
+    per_lane = [[] for _ in range(2)]
+    for _ in range(3):
+        for lane, tr in eng.step_all().items():
+            per_lane[lane].append(tr)
+
+    for lane, (content, style, inp) in enumerate(imgs):
+        st = StyleTransfer(params, precision='bfloat16')
+        st.set_weights(WEIGHTS, SCALARS)
+        st.set_optimizer('lbfgs')
+        st.set_step_size(1.0)
+        st.set_content(content)
+        st.set_style(style)
+        st.set_input(inp)
+        assert st.start()
+        for i in range(3):
+            _, tr = st.step()
+            np.testing.assert_allclose(per_lane[lane][i]['loss'], tr['loss'],
+                                       rtol=2e-2)
