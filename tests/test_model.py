@@ -281,3 +281,25 @@ def test_s2d_transform_forms_agree(rng, monkeypatch):
     np.testing.assert_array_equal(a, b)
     back = np.asarray(vgg19._depth_to_space(jnp.asarray(b), 3))
     np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_remat_matches_plain_bf16_s2d(rng):
+    """remat in bf16 at an even size (the high-res production combo, which
+    takes the block-1 s2d path) is numerically identical to non-remat."""
+    params = random_params(2)
+    x = preprocess(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8))
+    layers = ('conv1_1', 'conv2_1', 'conv3_1')
+    kw = dict(precision=jax.lax.Precision.DEFAULT,
+              compute_dtype=jnp.bfloat16)
+    plain = VGG19Features(params, **kw)
+    rem = VGG19Features(params, remat=True, **kw)
+    f_a, vjp_a = plain.features_and_vjp(x, layers)
+    f_b, vjp_b = rem.features_and_vjp(x, layers)
+    assert f_a['conv1_1'].shape == (1, 16, 16, 256)  # s2d layout active
+    diffs = {l: jnp.asarray(rng.randn(*f_a[l].shape).astype(np.float32))
+             for l in layers}
+    for l in layers:
+        np.testing.assert_allclose(np.asarray(f_a[l]), np.asarray(f_b[l]),
+                                   rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vjp_a(diffs)),
+                               np.asarray(vjp_b(diffs)), rtol=1e-5, atol=1e-5)
