@@ -103,7 +103,7 @@ def step_flops(st):
     ~4 GFLOPs/step at 512px because TPU convolution custom calls aren't
     counted (analytic: ~300 GFLOPs/step)."""
     from style_transfer2_tpu.models.vgg19 import (
-        BLOB_NAMES, CONV_SPECS, blob_index)
+        BLOB_NAMES, CONV_SPECS, blob_index, layer_channels)
     spec = st.spec()
     deepest = max(blob_index(l) for l in spec.layers)
     h, w = st.input_hw
@@ -120,15 +120,15 @@ def step_flops(st):
         else:
             h, w = -(-h // 2), -(-w // 2)
     fh, fw = st.input_hw
-    feat_hw = {}
+    feat_hw = {'data': (fh, fw)}
     hh, ww = fh, fw
     for name in BLOB_NAMES[1:]:
-        feat_hw[name] = (hh, ww)
         if name.startswith('pool'):
             hh, ww = -(-hh // 2), -(-ww // 2)
+        feat_hw[name] = (hh, ww)   # pool taps are POST-pool resolution
     for layer in spec.style_layers:
         hh, ww = feat_hw[layer]
-        c = chans[layer]
+        c = layer_channels(layer)  # pool blobs carry their block's width
         # gram (HW x C)^T (HW x C) + style grad (HW x C)(C x C).
         total += 2 * 2.0 * hh * ww * c * c
     return total
@@ -202,7 +202,10 @@ def bench_northstar(params, precision):
     style = np.uint8(resize_to_fit(
         Image.open(HERE / 'examples/starry_night.jpg').convert('RGB'),
         NORTHSTAR_SIZE))
-    ladder = sorted(s for s in scales(NORTHSTAR_SIZE) if s >= NS_MIN_SIZE)
+    # scales() walks (h, w) tuples; the ladder here is the max-dim sizes
+    # (content_at re-derives the aspect at each rung).
+    ladder = sorted(max(hw) for hw in scales(
+        (NORTHSTAR_SIZE, NORTHSTAR_SIZE), min_size=NS_MIN_SIZE))
     log('north star: ladder %s' % ladder)
 
     def content_at(size):

@@ -87,13 +87,23 @@ class SingleSessionTier(sn.EngineActions):
     def _spawn_driver(self):
         self.sess.running = False
         self.sess.worker_ready = False
+        # adaptive_dispatch default: 60 (the measured sweet spot — with
+        # depth-2 pipelining each sub-chunk is 30 steps, the minimum whose
+        # compute covers the tunnel RTT). A config that explicitly sets
+        # steps_per_dispatch but not adaptive_dispatch predates the
+        # adaptive mode and keeps its static behavior (adaptive would
+        # silently override it).
+        adaptive_default = (0 if 'steps_per_dispatch' in self.config
+                            and 'adaptive_dispatch' not in self.config
+                            else 60)
         self.driver = Driver(
             self.model_params,
             precision=self.config.get('precision', 'float32'),
             use_pallas=self.config.getboolean('pallas', False),
             steps_per_dispatch=self.config.getint('steps_per_dispatch', 1),
             image_every=self.config.getint('image_every', 1),
-            adaptive_max_steps=self.config.getint('adaptive_dispatch', 30),
+            adaptive_max_steps=self.config.getint('adaptive_dispatch',
+                                                  adaptive_default),
             pipeline_depth=self.config.getint('pipeline_depth', 2),
             dispatch_timeout=self.config.getfloat('dispatch_timeout', 0.0))
         self.driver_task = asyncio.ensure_future(self.driver.run())

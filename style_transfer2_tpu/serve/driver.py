@@ -30,6 +30,24 @@ class DeviceTimeoutError(RuntimeError):
     session hanging silently forever."""
 
 
+async def run_with_watchdog(fut, timeout, describe):
+    """Awaits an executor future under the device-hang watchdog: exceeding
+    `timeout` seconds raises DeviceTimeoutError. asyncio.shield is
+    load-bearing — an executor future can't interrupt its thread, and
+    wait_for's cancel would otherwise BLOCK until the wedged call returns;
+    shielding lets the timeout fire while the thread is abandoned mid-call.
+    timeout <= 0 disables. Shared by both serving tiers."""
+    if timeout <= 0:
+        return await fut
+    try:
+        return await asyncio.wait_for(asyncio.shield(fut), timeout)
+    except asyncio.TimeoutError:
+        logger.error('device call %s exceeded the %.1fs watchdog — '
+                     'backend wedged', describe, timeout)
+        raise DeviceTimeoutError(
+            'device dispatch exceeded %.1fs' % timeout)
+
+
 class Driver:
     """Owns the device and the StyleTransfer engine; talks to the app over
     a pair of asyncio queues."""
@@ -87,21 +105,8 @@ class Driver:
         DeviceTimeoutError (the stuck executor thread is abandoned — a
         fresh Driver brings a fresh executor)."""
         fut = self.loop.run_in_executor(self.executor, fn, *args)
-        if self.dispatch_timeout <= 0:
-            return await fut
-        try:
-            # shield: an executor future can't interrupt its thread, and
-            # wait_for's cancel would otherwise BLOCK until the wedged call
-            # returns — shield lets the timeout fire while the thread is
-            # abandoned mid-call.
-            return await asyncio.wait_for(asyncio.shield(fut),
-                                          self.dispatch_timeout)
-        except asyncio.TimeoutError:
-            logger.error('device call %s exceeded the %.1fs watchdog — '
-                         'backend wedged; abandoning this driver',
-                         getattr(fn, '__name__', fn), self.dispatch_timeout)
-            raise DeviceTimeoutError(
-                'device dispatch exceeded %.1fs' % self.dispatch_timeout)
+        return await run_with_watchdog(fut, self.dispatch_timeout,
+                                       getattr(fn, '__name__', fn))
 
     async def start(self):
         await self.out_queue.put(m.WorkerReady(layers=self.transfer.layers()))

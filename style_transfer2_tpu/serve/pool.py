@@ -81,11 +81,16 @@ class LaneActions(sn.EngineActions):
         return self.tier.engine_of(self.sess)
 
     async def start(self):
-        self.engine.set_running(self.sess.lane, True)
+        # Through the tick lock: toggling running DURING a dispatch makes
+        # the post-dispatch accounting emit iterates for a lane that was
+        # masked out of it (or drop steps that did apply).
+        await self.tier.engine_op(self.engine.set_running,
+                                  self.sess.lane, True)
         self.tier.wake.set()
 
     async def pause(self):
-        self.engine.set_running(self.sess.lane, False)
+        await self.tier.engine_op(self.engine.set_running,
+                                  self.sess.lane, False)
 
     async def reset_input(self):
         await self.tier.engine_op(self.tier.requeue, self.sess,
@@ -200,30 +205,26 @@ class PooledTier:
         return self.engines[sess.bucket_hw]
 
     async def _device_call(self, fn, *args, **kwargs):
-        """One executor-thread device call under the watchdog: exceeding
-        pool_dispatch_timeout marks the tier wedged and raises (shield —
-        the stuck thread can't be interrupted, only abandoned). Size the
-        timeout WELL above the worst cold-compile for the largest bucket;
-        0 (default) disables."""
+        """One executor-thread device call under the shared watchdog
+        (driver.run_with_watchdog): exceeding pool_dispatch_timeout marks
+        the tier wedged and raises. Size the timeout WELL above the worst
+        cold-compile for the largest bucket; 0 (default) disables."""
         import functools
 
-        from .driver import DeviceTimeoutError
+        from .driver import DeviceTimeoutError, run_with_watchdog
         loop = asyncio.get_event_loop()
         fut = loop.run_in_executor(self.executor,
                                    functools.partial(fn, *args, **kwargs))
         timeout = self.config.getfloat('pool_dispatch_timeout', 0.0)
-        if timeout <= 0:
-            return await fut
         try:
-            return await asyncio.wait_for(asyncio.shield(fut), timeout)
-        except asyncio.TimeoutError:
+            return await run_with_watchdog(fut, timeout,
+                                           getattr(fn, '__name__', fn))
+        except DeviceTimeoutError:
             self.wedged = True
             logger.critical(
-                'device call %s exceeded the %.1fs watchdog — backend '
-                'wedged; stepping stops and router heartbeats cease',
-                getattr(fn, '__name__', fn), timeout)
-            raise DeviceTimeoutError(
-                'device dispatch exceeded %.1fs' % timeout)
+                'device watchdog tripped — the pooled tier stops stepping '
+                'and router heartbeats cease')
+            raise
 
     async def engine_op(self, fn, *args, **kwargs):
         """Runs an engine/session mutation atomically with respect to the
@@ -265,10 +266,11 @@ class PooledTier:
     def seed_session(self, sess):
         """Seeds a fresh session with the configured demo job, paused."""
         engine = self.engine_of(sess)
+        # Fresh-session defaults throughout: add_job below resets the lane's
+        # engine step size to the optimizer default, so the params doc must
+        # NOT echo the previous occupant's leftover value.
         sess.load_defaults(self.config, ROOT_DIR,
-                           optimizer=engine.optimizer_name,
-                           step_size=float(np.asarray(
-                               engine.step_sizes[sess.lane])))
+                           optimizer=engine.optimizer_name)
         sess.params['size'] = max(sess.bucket_hw)
         sess.params['weights'] = [dict(engine.default_weights),
                                   dict(engine.default_scalars)]
@@ -309,7 +311,10 @@ class PooledTier:
                 sess.input_arr = input_arr
                 sess.input_was_reset = True
         weights, scalars = sess.params['weights']
-        engine.remove_job(sess.lane)
+        # No remove_job first: add_job(lane=...) overwrites the lane
+        # completely, and transiently marking it inactive opens a window
+        # (jnp calls release the GIL) where lookup()'s free_lane() on the
+        # event loop could hand the lane to a new session.
         engine.add_job(content, style, input_arr, weights=weights,
                        scalar_params=scalars,
                        step_size=sess.params.get('optimizer_step_size'),
@@ -330,30 +335,40 @@ class PooledTier:
         if new_lane is None:
             raise sn.SizeRejected(
                 'No capacity at %d px right now; try again later.' % size)
+        # Claim immediately: the device calls below release the GIL, and
+        # lookup() on the event loop must not hand this lane to a new
+        # session mid-migration.
+        new_engine.active[new_lane] = True
 
         was_running = old_engine.running[sess.lane]
-        weights, scalars = sess.params['weights']
-        step_size = sess.params.get('optimizer_step_size')
-        content = self._fit(sess.content_image, new_hw)
-        style = self._fit(sess.style_image, new_hw)
+        try:
+            weights, scalars = sess.params['weights']
+            step_size = sess.params.get('optimizer_step_size')
+            content = self._fit(sess.content_image, new_hw)
+            style = self._fit(sess.style_image, new_hw)
 
-        lane_state = None
-        t = 0
-        if sess.i > 1:
-            mod = OPTIMIZERS[old_engine.optimizer_name]
-            lane_state = mod.resample(old_engine.lane_state(sess.lane),
-                                      new_hw)
-            lane_state = mod.objective_changed(lane_state)
-            t = sess.i
-            sess.input_arr = utils.resample_hwc(sess.input_arr, new_hw)
-        else:
-            sess.input_arr = sn.fresh_random_input(new_hw)
-            sess.input_was_reset = True
+            lane_state = None
+            t = 0
+            if sess.i > 1:
+                mod = OPTIMIZERS[old_engine.optimizer_name]
+                lane_state = mod.resample(old_engine.lane_state(sess.lane),
+                                          new_hw)
+                lane_state = mod.objective_changed(lane_state)
+                t = sess.i
+                sess.input_arr = utils.resample_hwc(sess.input_arr, new_hw)
+            else:
+                sess.input_arr = sn.fresh_random_input(new_hw)
+                sess.input_was_reset = True
 
+            new_engine.add_job(content, style, sess.input_arr,
+                               weights=weights, scalar_params=scalars,
+                               step_size=step_size, lane=new_lane,
+                               lane_state=lane_state, t=t)
+        except Exception:
+            new_engine.active[new_lane] = False  # un-claim; session intact
+            raise
+        # Only after the new lane is fully populated: free the old one.
         old_engine.remove_job(sess.lane)
-        new_engine.add_job(content, style, sess.input_arr, weights=weights,
-                           scalar_params=scalars, step_size=step_size,
-                           lane=new_lane, lane_state=lane_state, t=t)
         new_engine.set_running(new_lane, was_running)
         sess.lane = new_lane
         sess.bucket_hw = new_hw

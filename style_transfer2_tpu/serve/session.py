@@ -287,16 +287,20 @@ def greet(sess):
 
 async def pump_websocket(request, sess, actions, layers_fn, max_size):
     """Prepares the WS, greets, then dispatches inbound control messages
-    until the socket closes."""
+    until the socket closes. Sessions with a `touch` method (the pooled
+    tier's idle-expiry bookkeeping) are touched per inbound message, so a
+    WS-only client doesn't expire mid-conversation."""
     ws = web.WebSocketResponse()
     await ws.prepare(request)
     sess.sockets.append(ws)
     greet(sess)
+    touch = getattr(sess, 'touch', lambda: None)
 
     try:
         async for raw in ws:
             if raw.type != aiohttp.WSMsgType.TEXT:
                 break
+            touch()
             msg = json.loads(raw.data)
             kind = msg.get('type')
             if kind == 'applyParams':
