@@ -304,8 +304,8 @@ def bench_cpu_reference(params, content, style):
 
 def main():
     import jax
-    jax.config.update('jax_compilation_cache_dir', str(HERE / '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    from style_transfer2_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from style_transfer2_tpu.models import random_params
 
     log('devices: %s' % (jax.devices(),))

@@ -96,15 +96,20 @@ class SingleSessionTier(sn.EngineActions):
         adaptive_default = (0 if 'steps_per_dispatch' in self.config
                             and 'adaptive_dispatch' not in self.config
                             else 60)
+        adaptive = self.config.getint('adaptive_dispatch', adaptive_default)
+        # Static-dispatch configs (adaptive off) keep their documented
+        # K-iteration control latency unless they opt into pipelining —
+        # depth 2 would silently double the in-flight work to 2K.
+        pipeline_default = 2 if adaptive > 1 else 1
         self.driver = Driver(
             self.model_params,
             precision=self.config.get('precision', 'float32'),
             use_pallas=self.config.getboolean('pallas', False),
             steps_per_dispatch=self.config.getint('steps_per_dispatch', 1),
             image_every=self.config.getint('image_every', 1),
-            adaptive_max_steps=self.config.getint('adaptive_dispatch',
-                                                  adaptive_default),
-            pipeline_depth=self.config.getint('pipeline_depth', 2),
+            adaptive_max_steps=adaptive,
+            pipeline_depth=self.config.getint('pipeline_depth',
+                                              pipeline_default),
             dispatch_timeout=self.config.getfloat('dispatch_timeout', 0.0))
         self.driver_task = asyncio.ensure_future(self.driver.run())
         if self.pump_task is not None:

@@ -63,6 +63,7 @@ class PoolSession(sn.Session):
         self.lane = lane
         self.bucket_hw = bucket_hw
         self.last_access = time.monotonic()
+        self.last_image_fetch = 0.0
 
     def touch(self):
         self.last_access = time.monotonic()
@@ -108,9 +109,26 @@ class LaneActions(sn.EngineActions):
         if size == max(self.sess.bucket_hw):
             return size
         self.tier.check_size_allowed(size)
-        await self.tier.engine_op(self.tier.migrate, self.sess, size)
-        if self.tier.engine_of(self.sess).running[self.sess.lane]:
-            self.tier.wake.set()
+        tier = self.tier
+        # Lane allocation happens HERE on the event loop under lane_lock
+        # (atomic vs lookup()); the bucket may need creating first — that
+        # is device work, so it runs on the executor while we hold the
+        # lock (brief, rare: once per new resolution).
+        async with tier.lane_lock:
+            engine = await tier.engine_op(tier.bucket_for, size)
+            new_lane = engine.free_lane()
+            if new_lane is None:
+                raise sn.SizeRejected(
+                    'No capacity at %d px right now; try again later.'
+                    % size)
+            engine.active[new_lane] = True
+        try:
+            await tier.engine_op(tier.migrate, self.sess, size, new_lane)
+        except Exception:
+            engine.active[new_lane] = False  # un-claim; session intact
+            raise
+        if tier.engine_of(self.sess).running[self.sess.lane]:
+            tier.wake.set()
         h, w = self.sess.bucket_hw
         self.sess.push('newSize', height=h, width=w)
         return size
@@ -150,6 +168,10 @@ class PooledTier:
         self.sessions = {}
         self.wake = None
         self.tick_lock = None
+        # Serializes lane ALLOCATION (free_lane -> claim) on the event
+        # loop: engine methods running in the executor release the GIL at
+        # jnp calls, so allocation must never happen there.
+        self.lane_lock = None
         self.executor = None
         self.tasks = []
         self.instance_id = os.urandom(8).hex()
@@ -251,15 +273,23 @@ class PooledTier:
             return sess, False
         if not create:
             raise web.HTTPForbidden()
-        engine = self.bucket_for(max(self.default_hw))
-        lane = engine.free_lane()
-        if lane is None:
-            raise web.HTTPServiceUnavailable()
-        sid = os.urandom(8).hex()
-        sess = PoolSession(sid, lane, self.default_hw)
-        engine.active[lane] = True   # claim before yielding (running stays
-        self.sessions[sid] = sess    # False until the session starts)
-        await self.engine_op(self.seed_session, sess)
+        async with self.lane_lock:
+            engine = self.engines[self.default_hw]
+            lane = engine.free_lane()
+            if lane is None:
+                raise web.HTTPServiceUnavailable()
+            sid = os.urandom(8).hex()
+            sess = PoolSession(sid, lane, self.default_hw)
+            engine.active[lane] = True   # claim before yielding (running
+            self.sessions[sid] = sess    # stays False until start)
+        try:
+            await self.engine_op(self.seed_session, sess)
+        except Exception:
+            # No half-initialized session may survive: it would crash
+            # greet() and /output and hold the lane until idle expiry.
+            engine.active[lane] = False
+            self.sessions.pop(sid, None)
+            raise
         logger.info('new session %s on lane %d', sid, lane)
         return sess, True
 
@@ -292,10 +322,17 @@ class PooledTier:
         return np.uint8(pil_image.resize(hw[::-1], Image.LANCZOS))
 
     def requeue(self, sess, content=None, style=None, input_arr=None,
-                keep_input=False, reset_input=False):
-        """Re-adds the session's job to its lane with updated slots (the
-        batched engine re-initializes the lane's optimizer state; images
-        default to the current session originals)."""
+                keep_progress=False, reset_input=False):
+        """Re-adds the session's job to its lane with updated slots; images
+        default to the current session originals.
+
+        keep_progress preserves the ON-DEVICE iterate, the iterate counter,
+        and the reference's objective_changed optimizer semantics (Adam
+        keeps its second moment, L-BFGS clears and re-primes) — the
+        behavior a style/content upload must have (the single-session tier
+        sends SetImages without reset; reference worker.py re-extracts
+        features around the live iterate). Without it the lane re-seeds
+        from a fresh random input (the 'reset' action)."""
         engine = self.engine_of(sess)
         hw = sess.bucket_hw
         was_running = engine.running[sess.lane]
@@ -303,13 +340,16 @@ class PooledTier:
             content = self._fit(sess.content_image, hw)
         if style is None:
             style = self._fit(sess.style_image, hw)
-        if input_arr is None:
-            if keep_input and sess.input_arr is not None and not reset_input:
-                input_arr = sess.input_arr
-            else:
-                input_arr = sn.fresh_random_input(hw)
-                sess.input_arr = input_arr
-                sess.input_was_reset = True
+        lane_state = None
+        t = 0
+        if keep_progress and not reset_input and input_arr is None:
+            mod = OPTIMIZERS[engine.optimizer_name]
+            lane_state = mod.objective_changed(engine.lane_state(sess.lane))
+            t = sess.i
+        elif input_arr is None:
+            input_arr = sn.fresh_random_input(hw)
+            sess.input_arr = input_arr
+            sess.input_was_reset = True
         weights, scalars = sess.params['weights']
         # No remove_job first: add_job(lane=...) overwrites the lane
         # completely, and transiently marking it inactive opens a window
@@ -318,55 +358,46 @@ class PooledTier:
         engine.add_job(content, style, input_arr, weights=weights,
                        scalar_params=scalars,
                        step_size=sess.params.get('optimizer_step_size'),
-                       lane=sess.lane)
-        sess.i = 0
+                       lane=sess.lane, lane_state=lane_state, t=t)
+        sess.i = t
         engine.set_running(sess.lane, was_running)
 
-    def migrate(self, sess, size):
+    def migrate(self, sess, size, new_lane):
         """Moves a session to the bucket serving `size` with warm-started
         state: the iterate and optimizer moments resample to the new grid
         (reference optimizers.py:29-40); a session still at iterate <= 1
         re-seeds cold from a fresh random input (reference app.py:187-194).
-        Raises SizeRejected when the target bucket has no free lane."""
+        `new_lane` must already be CLAIMED by the caller on the event loop
+        (LaneActions.change_size under lane_lock) — allocation in this
+        executor-thread context would race lookup()."""
         old_engine = self.engine_of(sess)
         new_engine = self.bucket_for(size)
         new_hw = self.hw_for(size)
-        new_lane = new_engine.free_lane()
-        if new_lane is None:
-            raise sn.SizeRejected(
-                'No capacity at %d px right now; try again later.' % size)
-        # Claim immediately: the device calls below release the GIL, and
-        # lookup() on the event loop must not hand this lane to a new
-        # session mid-migration.
-        new_engine.active[new_lane] = True
 
         was_running = old_engine.running[sess.lane]
-        try:
-            weights, scalars = sess.params['weights']
-            step_size = sess.params.get('optimizer_step_size')
-            content = self._fit(sess.content_image, new_hw)
-            style = self._fit(sess.style_image, new_hw)
+        weights, scalars = sess.params['weights']
+        step_size = sess.params.get('optimizer_step_size')
+        content = self._fit(sess.content_image, new_hw)
+        style = self._fit(sess.style_image, new_hw)
 
-            lane_state = None
-            t = 0
-            if sess.i > 1:
-                mod = OPTIMIZERS[old_engine.optimizer_name]
-                lane_state = mod.resample(old_engine.lane_state(sess.lane),
-                                          new_hw)
-                lane_state = mod.objective_changed(lane_state)
-                t = sess.i
-                sess.input_arr = utils.resample_hwc(sess.input_arr, new_hw)
-            else:
-                sess.input_arr = sn.fresh_random_input(new_hw)
-                sess.input_was_reset = True
+        lane_state = None
+        t = 0
+        if sess.i > 1:
+            mod = OPTIMIZERS[old_engine.optimizer_name]
+            lane_state = mod.resample(old_engine.lane_state(sess.lane),
+                                      new_hw)
+            lane_state = mod.objective_changed(lane_state)
+            t = sess.i
+            sess.input_arr = utils.resample_hwc(sess.input_arr, new_hw)
+        else:
+            sess.input_arr = sn.fresh_random_input(new_hw)
+            sess.input_was_reset = True
 
-            new_engine.add_job(content, style, sess.input_arr,
-                               weights=weights, scalar_params=scalars,
-                               step_size=step_size, lane=new_lane,
-                               lane_state=lane_state, t=t)
-        except Exception:
-            new_engine.active[new_lane] = False  # un-claim; session intact
-            raise
+        # A failure above or here propagates to change_size, which
+        # un-claims new_lane; the session stays intact on its old lane.
+        new_engine.add_job(content, style, sess.input_arr, weights=weights,
+                           scalar_params=scalars, step_size=step_size,
+                           lane=new_lane, lane_state=lane_state, t=t)
         # Only after the new lane is fully populated: free the old one.
         old_engine.remove_job(sess.lane)
         new_engine.set_running(new_lane, was_running)
@@ -388,6 +419,13 @@ class PooledTier:
         iterateInfo trace."""
         from .driver import DeviceTimeoutError
         k = self.config.getint('pool_steps_per_dispatch', 1)
+        # Iterate snapshots only matter to the browser's 4 Hz /output poll
+        # (iterateInfo frames carry no image), so fetching every lane every
+        # tick wastes a ~70 ms host round-trip per lane per tick over a
+        # tunnel. Throttle per session; a session's FIRST batch and any
+        # pending reset always fetch (the input_was_reset guard needs an
+        # image-bearing frame to clear).
+        image_interval = self.config.getfloat('pool_image_interval', 0.25)
         try:
             while True:
                 busy_engines = [e for e in self.engines.values()
@@ -411,8 +449,16 @@ class PooledTier:
                             sess = by_key.get((engine.hw, lane))
                             if sess is None:
                                 continue
-                            image = await self._device_call(
-                                engine.lane_image, lane)
+                            now = time.monotonic()
+                            fetch = (sess.input_was_reset
+                                     or engine.t[lane] <= len(traces)
+                                     or now - sess.last_image_fetch
+                                     >= image_interval)
+                            image = None
+                            if fetch:
+                                image = await self._device_call(
+                                    engine.lane_image, lane)
+                                sess.last_image_fetch = now
                             sess.note_iterates(engine.t[lane], image, traces)
                 await asyncio.sleep(0)
         except DeviceTimeoutError:
@@ -453,18 +499,22 @@ class PooledTier:
         slot, image, _size = sn.decode_upload(await request.post())
         arr = self._fit(image, sess.bucket_hw)
         if slot == 'content':
+            # Progress is kept: the reference re-extracts content features
+            # around the live iterate (the bucket grid is fixed, so no
+            # input resample is needed, unlike the single-session tier).
             sess.set_slot_image('content', image)
             sess.its_per_s.clear()
-            await self.engine_op(self.requeue, sess, content=arr)
+            await self.engine_op(self.requeue, sess, content=arr,
+                                 keep_progress=True)
             sess.push('thumbnails', content=sess.thumbnail('content'))
         elif slot == 'style':
             sess.set_slot_image('style', image)
-            await self.engine_op(self.requeue, sess, style=arr)
+            await self.engine_op(self.requeue, sess, style=arr,
+                                 keep_progress=True)
             sess.push('thumbnails', style=sess.thumbnail('style'))
         elif slot == 'input':
             sess.input_arr = arr
-            await self.engine_op(self.requeue, sess, input_arr=arr,
-                                 keep_input=True)
+            await self.engine_op(self.requeue, sess, input_arr=arr)
         else:
             raise web.HTTPBadRequest(reason='unknown slot')
         return web.Response()
@@ -515,6 +565,7 @@ class PooledTier:
         self.layers = default_engine.model.layers()
         self.wake = asyncio.Event()
         self.tick_lock = asyncio.Lock()
+        self.lane_lock = asyncio.Lock()
         self.executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix='pool-driver')
         self.tasks.append(asyncio.ensure_future(self.drive()))

@@ -312,3 +312,44 @@ def test_pool_device_watchdog(pool_client):
         assert 'WEDGED' in await resp.text()
         await a.ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 120))
+
+
+def test_pool_style_upload_keeps_progress(pool_client):
+    """A style (or content) upload must NOT restart the stylization: the
+    iterate and its counter continue (reference semantics — the worker only
+    re-extracts features around the live iterate)."""
+    import base64
+
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        await a.send({'type': 'start'})
+        info = await a.recv_until('iterateInfo')
+        # Let it make some progress.
+        for _ in range(30):
+            a.got.pop('iterateInfo', None)
+            info = await a.recv_until('iterateInfo')
+            if info['i'] >= 5:
+                break
+        assert info['i'] >= 5
+        before = info['i']
+
+        rng = np.random.RandomState(7)
+        img = Image.fromarray(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format='png')
+        data_url = ('data:image/png;base64,'
+                    + base64.b64encode(buf.getvalue()).decode())
+        resp = await client.post(
+            '/upload', data={'size': '32', 'slot': 'style', 'data': data_url},
+            headers=a._headers())
+        assert resp.status == 200
+        a.got.pop('thumbnails', None)
+        await a.recv_until('thumbnails')
+        a.got.pop('iterateInfo', None)
+        info = await a.recv_until('iterateInfo')
+        assert info['i'] > before, (info['i'], before)
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
