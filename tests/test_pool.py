@@ -353,3 +353,82 @@ def test_pool_style_upload_keeps_progress(pool_client):
         assert info['i'] > before, (info['i'], before)
         await a.ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_concurrent_session_churn(pool_client):
+    """Stress the lane lifecycle: concurrent clients churning through
+    open / start / upload / reset / size-change / disconnect on a 2-lane
+    pool. Asserts the invariants the lane_lock work protects: no two live
+    sessions ever share a (bucket, lane), every received frame is
+    well-formed, and capacity rejections surface as clean 503s."""
+    import base64
+
+    client, loop, app = pool_client
+    tier = app['tier']
+
+    rng = np.random.RandomState(11)
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)).save(
+        buf, format='png')
+    data_url = ('data:image/png;base64,'
+                + base64.b64encode(buf.getvalue()).decode())
+
+    violations = []
+
+    def check_no_shared_lanes():
+        keys = [(s.bucket_hw, s.lane) for s in tier.sessions.values()]
+        if len(keys) != len(set(keys)):
+            violations.append('shared lane: %s' % keys)
+
+    async def one_client(seed):
+        r = np.random.RandomState(seed)
+        for _ in range(3):
+            try:
+                a = await WSSession(client).open()
+            except AssertionError:
+                # 503 (pool full) renders the error page without a cookie —
+                # a clean rejection, try again later.
+                await asyncio.sleep(0.2)
+                continue
+            try:
+                await a.recv_until('state')
+                await a.send({'type': 'start'})
+                await a.recv_until('iterateInfo')
+                for _ in range(r.randint(1, 4)):
+                    op = r.randint(4)
+                    check_no_shared_lanes()
+                    if op == 0:
+                        slot = ('style', 'content')[r.randint(2)]
+                        resp = await client.post(
+                            '/upload', data={'size': '32', 'slot': slot,
+                                             'data': data_url},
+                            headers=a._headers())
+                        assert resp.status == 200
+                    elif op == 1:
+                        await a.send({'type': 'reset'})
+                    elif op == 2:
+                        await a.send({'type': 'pause'})
+                        await a.send({'type': 'start'})
+                    else:
+                        doc = yaml.safe_load(
+                            a.got['newParams']['params'])
+                        doc['size'] = (32, 48)[r.randint(2)]
+                        await a.send({'type': 'applyParams',
+                                      'params': yaml.safe_dump(doc)})
+                    a.got.pop('iterateInfo', None)
+                    info = await a.recv_until('iterateInfo')
+                    assert np.isfinite(info['trace']['loss'])
+                    check_no_shared_lanes()
+            finally:
+                await a.ws.close()
+                # Free the lane for the other churners.
+                sess = tier.sessions.get(a.cookie)
+                if sess is not None:
+                    await tier.engine_op(tier.release, sess)
+            check_no_shared_lanes()
+
+    async def body():
+        await asyncio.gather(*(one_client(100 + i) for i in range(4)))
+        assert not violations, violations
+
+    loop.run_until_complete(asyncio.wait_for(body(), 900))
