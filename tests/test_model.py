@@ -303,3 +303,20 @@ def test_remat_matches_plain_bf16_s2d(rng):
                                    rtol=1e-6)
     np.testing.assert_allclose(np.asarray(vjp_a(diffs)),
                                np.asarray(vjp_b(diffs)), rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_odd_size_uses_direct_path(rng):
+    """At odd sizes the bf16 trunk falls back to the direct convs (the s2d
+    gate requires even H, W): taps keep full-res layout and track f32."""
+    from style_transfer2_tpu.models import vgg19
+    params = random_params(0)
+    x = jnp.asarray(rng.randn(1, 31, 33, 3).astype(np.float32) * 20)
+    f32 = vgg19.extract_features(params, x, ('conv1_1', 'pool1'))
+    bf16 = vgg19.extract_features(params, x, ('conv1_1', 'pool1'),
+                                  jax.lax.Precision.DEFAULT, jnp.bfloat16)
+    assert bf16['conv1_1'].shape == (1, 31, 33, 64)   # no s2d layout
+    assert bf16['pool1'].shape == f32['pool1'].shape  # ceil-mode (16, 17)
+    for name in ('conv1_1', 'pool1'):
+        scale = np.abs(np.asarray(f32[name])).mean()
+        assert (np.abs(np.asarray(bf16[name]) - np.asarray(f32[name])).mean()
+                < 0.03 * scale)
