@@ -308,7 +308,23 @@ def main():
     enable_compile_cache()
     from style_transfer2_tpu.models import random_params
 
-    log('devices: %s' % (jax.devices(),))
+    # Backend init over a dead tunnel HANGS (even jax.devices(); observed
+    # for hours when the relay died mid-round) — fail fast with an
+    # explanatory JSON line instead of eating the caller's time budget.
+    import concurrent.futures
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    try:
+        devices = ex.submit(jax.devices).result(
+            float(os.environ.get('BENCH_INIT_TIMEOUT', 900)))
+    except concurrent.futures.TimeoutError:
+        print(json.dumps({
+            'metric': 'optimization iterations/sec/chip at 512px '
+                      '(VGG-19 style transfer, L-BFGS)',
+            'value': 0, 'unit': 'it/s', 'vs_baseline': 0,
+            'error': 'device backend unreachable: jax.devices() exceeded '
+                     'the init timeout (tunnel down)'}), flush=True)
+        os._exit(3)   # the hung init thread cannot be joined
+    log('devices: %s' % (devices,))
     params = random_params(0)
     content, style = load_images()
     log('content %s style %s' % (content.shape, style.shape))
