@@ -302,11 +302,92 @@ def bench_cpu_reference(params, content, style):
     return its_per_s
 
 
+_printed = False
+
+
+def emit(result):
+    """Print the single JSON result line exactly once."""
+    global _printed
+    if _printed:
+        return
+    _printed = True
+    print(json.dumps(result), flush=True)
+
+
+def _checkpoint(result):
+    """Persist the running partial record (forensics after a hard kill)."""
+    try:
+        (HERE / '.bench_partial.json').write_text(json.dumps(result))
+    except OSError:
+        pass
+
+
+def _install_partial_flush(result):
+    """SIGTERM/SIGINT/exit flush whatever has been measured so far, so a
+    driver kill mid-phase never again produces an empty record
+    (round 2's BENCH_r02.json was a zero because the one print lived
+    after every fragile phase)."""
+    import atexit
+    import signal
+
+    def flush(signum=None, frame=None):
+        if signum is not None:
+            result.setdefault(
+                'error', 'killed by signal %d mid-bench (partial result)'
+                % signum)
+        emit(result)
+        if signum is not None:
+            os._exit(0 if result.get('value') else 3)
+
+    signal.signal(signal.SIGTERM, flush)
+    signal.signal(signal.SIGINT, flush)
+    atexit.register(flush)
+
+
+def run_phase(name, timeout, fn, result, fatal=False):
+    """Run one bench phase with a deadline. A timeout means the device
+    backend wedged mid-phase (the round-2 failure mode): emit what has
+    been measured and exit, since the hung thread cannot be joined. An
+    exception records the error and skips the phase (or exits if the
+    phase is the headline)."""
+    import concurrent.futures
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    try:
+        out = ex.submit(fn).result(timeout)
+        _checkpoint(result)
+        return out
+    except concurrent.futures.TimeoutError:
+        log('phase %r timed out after %ds — device wedged; flushing partials'
+            % (name, timeout))
+        result['%s_error' % name] = ('timed out after %ds '
+                                     '(device backend wedged?)' % timeout)
+        _checkpoint(result)
+        emit(result)
+        os._exit(0 if result.get('value') else 3)
+    except BaseException as e:  # partials must survive anything
+        log('phase %r failed: %r' % (name, e))
+        result['%s_error' % name] = '%s: %s' % (type(e).__name__, e)
+        _checkpoint(result)
+        if fatal:
+            emit(result)
+            os._exit(3)
+        return None
+
+
 def main():
     import jax
     from style_transfer2_tpu.utils import enable_compile_cache
     enable_compile_cache()
     from style_transfer2_tpu.models import random_params
+
+    precision = os.environ.get('BENCH_PRECISION', 'float32')
+    result = {
+        'metric': 'optimization iterations/sec/chip at 512px '
+                  '(VGG-19 style transfer, L-BFGS, %s)' % precision,
+        'value': 0, 'unit': 'it/s', 'vs_baseline': 0,
+    }
+    _install_partial_flush(result)
+    phase_timeout = float(os.environ.get('BENCH_PHASE_TIMEOUT', 2400))
 
     # Backend init over a dead tunnel HANGS (even jax.devices(); observed
     # for hours when the relay died mid-round) — fail fast with an
@@ -317,55 +398,62 @@ def main():
         devices = ex.submit(jax.devices).result(
             float(os.environ.get('BENCH_INIT_TIMEOUT', 900)))
     except concurrent.futures.TimeoutError:
-        print(json.dumps({
-            'metric': 'optimization iterations/sec/chip at 512px '
-                      '(VGG-19 style transfer, L-BFGS)',
-            'value': 0, 'unit': 'it/s', 'vs_baseline': 0,
-            'error': 'device backend unreachable: jax.devices() exceeded '
-                     'the init timeout (tunnel down)'}), flush=True)
+        result['error'] = ('device backend unreachable: jax.devices() '
+                           'exceeded the init timeout (tunnel down)')
+        emit(result)
         os._exit(3)   # the hung init thread cannot be joined
     log('devices: %s' % (devices,))
     params = random_params(0)
     content, style = load_images()
     log('content %s style %s' % (content.shape, style.shape))
 
-    precision = os.environ.get('BENCH_PRECISION', 'float32')
-    tpu_its, st = bench_tpu(params, content, style, precision)
-    mfu, tflops_step = mfu_estimate(st, tpu_its)
-    del st
-    cpu_its = bench_cpu_reference(params, content, style)
+    # Headline: measured rate over the CPU-oracle baseline. Fatal if it
+    # fails; a mid-phase hang emits the zero record and exits.
+    cpu_box = {}
 
-    result = {
-        'metric': 'optimization iterations/sec/chip at 512px '
-                  '(VGG-19 style transfer, L-BFGS, %s)' % precision,
-        'value': round(tpu_its, 3),
-        'unit': 'it/s',
-        'vs_baseline': round(tpu_its / cpu_its, 2),
-    }
-    if mfu is not None:
-        result['mfu'] = mfu
-        result['tflops_per_step'] = tflops_step
+    def headline():
+        tpu_its, st = bench_tpu(params, content, style, precision)
+        mfu, tflops_step = mfu_estimate(st, tpu_its)
+        del st
+        cpu_box['its'] = bench_cpu_reference(params, content, style)
+        result['value'] = round(tpu_its, 3)
+        result['vs_baseline'] = round(tpu_its / cpu_box['its'], 2)
+        if mfu is not None:
+            result['mfu'] = mfu
+            result['tflops_per_step'] = tflops_step
+
+    run_phase('headline', phase_timeout, headline, result, fatal=True)
 
     # The speed-mode variant on the same line (the headline stays f32 for
     # round-over-round comparability; bf16 is what production serves).
     other = 'bfloat16' if precision == 'float32' else 'float32'
     if os.environ.get('BENCH_BOTH', '1') != '0':
-        other_its, st2 = bench_tpu(params, content, style, other,
-                                   n_timed=N_TIMED // 2)
-        other_mfu, _ = mfu_estimate(st2, other_its)
-        del st2
-        result['%s_its_per_s' % other] = round(other_its, 3)
-        result['%s_vs_baseline' % other] = round(other_its / cpu_its, 2)
-        if other_mfu is not None:
-            result['%s_mfu' % other] = other_mfu
+        def speed_mode():
+            other_its, st2 = bench_tpu(params, content, style, other,
+                                       n_timed=N_TIMED // 2)
+            other_mfu, _ = mfu_estimate(st2, other_its)
+            del st2
+            result['%s_its_per_s' % other] = round(other_its, 3)
+            result['%s_vs_baseline' % other] = round(
+                other_its / cpu_box['its'], 2)
+            if other_mfu is not None:
+                result['%s_mfu' % other] = other_mfu
+
+        run_phase(other, phase_timeout, speed_mode, result)
 
     dev = jax.devices()[0]
     on_tpu = 'tpu' in (str(dev.platform) + str(dev.device_kind)).lower()
     if on_tpu and os.environ.get('BENCH_NORTHSTAR', '1') != '0':
-        result.update(bench_northstar(
-            params, os.environ.get('BENCH_NS_PRECISION', 'bfloat16')))
+        # North-star cold-compiles ~5 ladder programs over the tunnel
+        # (minutes each uncached) — give it its own, longer deadline.
+        ns_timeout = float(os.environ.get('BENCH_NS_TIMEOUT', 4800))
+        run_phase('northstar', ns_timeout,
+                  lambda: result.update(bench_northstar(
+                      params,
+                      os.environ.get('BENCH_NS_PRECISION', 'bfloat16'))),
+                  result)
 
-    print(json.dumps(result), flush=True)
+    emit(result)
 
 
 if __name__ == '__main__':
