@@ -144,20 +144,27 @@ class SingleSessionTier(sn.EngineActions):
     async def _pump_driver(self):
         """Consumes the driver's output queue: iterate bookkeeping, the
         ready/bootstrap handshake, resets from the router."""
+        held = None  # non-coalescable message drained ahead of its turn
         while True:
-            msg = await self.driver.out_queue.get()
+            if held is not None:
+                msg, held = held, None
+            else:
+                msg = await self.driver.out_queue.get()
             if isinstance(msg, m.Iterate):
                 # Fused dispatches emit one Iterate per step back to back;
                 # coalesce the consecutive run so the rate estimator sees
-                # one K-step batch, not K zero-interval arrivals.
+                # one K-step batch, not K zero-interval arrivals. Drained
+                # messages that break the run are held for the next loop
+                # turn (asyncio.Queue has no public peek).
                 batch = [msg]
                 queue = self.driver.out_queue
                 while not queue.empty():
-                    head = queue._queue[0]  # peek (asyncio.Queue internal)
-                    if (not isinstance(head, m.Iterate)
-                            or head.i != batch[-1].i + 1):
+                    nxt = queue.get_nowait()
+                    if (not isinstance(nxt, m.Iterate)
+                            or nxt.i != batch[-1].i + 1):
+                        held = nxt
                         break
-                    batch.append(queue.get_nowait())
+                    batch.append(nxt)
                 image = next((b.image for b in reversed(batch)
                               if b.image is not None), None)
                 self.sess.note_iterates(batch[-1].i, image,
@@ -326,7 +333,10 @@ class SingleSessionTier(sn.EngineActions):
 
     async def handle_control_reset(self, request):
         """POST /__control/reset — the router's Reset message as HTTP/JSON
-        (replaces the reference's router->app ZMQ socket)."""
+        (replaces the reference's router->app ZMQ socket). Token- or
+        loopback-gated: an open reset endpoint lets any client wipe the
+        user's session when http_host binds beyond loopback."""
+        sn.check_control_auth(request, self.config)
         await self.reset_session()
         return web.json_response({'ok': True})
 

@@ -54,7 +54,7 @@ class Driver:
 
     def __init__(self, params, precision='float32', placement=None,
                  loop=None, use_pallas=False, steps_per_dispatch=1,
-                 image_every=1, adaptive_max_steps=0, pipeline_depth=2,
+                 image_every=1, adaptive_max_steps=0, pipeline_depth=1,
                  dispatch_timeout=0.0):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
@@ -75,7 +75,10 @@ class Driver:
         behind the compute of the next, worth ~25% throughput at identical
         worst-case control latency (still adaptive_max_steps iterations of
         in-flight work). Programs compiled per resolution: K=1 plus one per
-        distinct sub-chunk length.
+        distinct sub-chunk length. Default 1: with adaptive off, depth 2
+        would silently double in-flight work (worst-case control latency)
+        to 2*steps_per_dispatch; app.py opts into depth 2 whenever
+        adaptive mode is on.
         dispatch_timeout > 0 (seconds) is the device-hang watchdog: a
         single device call exceeding it raises DeviceTimeoutError out of
         the driver task, so a wedged backend/tunnel becomes a supervised

@@ -98,10 +98,14 @@ class LaneActions(sn.EngineActions):
                                   reset_input=True)
 
     async def restart_engine(self):
-        # There is no per-session worker to restart; re-seeding the lane is
-        # the closest equivalent, and the state echo keeps the UI honest.
+        # There is no per-session worker to restart; rebuilding the lane
+        # around the LIVE iterate is the equivalent. The reference's
+        # restart costs only optimizer momentum — the app re-feeds the
+        # current image to the fresh worker (app.py:336-344,
+        # worker.py:399-401) — so the iterate and counter must survive
+        # here too; the state echo keeps the UI honest.
         await self.tier.engine_op(self.tier.requeue, self.sess,
-                                  reset_input=True)
+                                  keep_progress=True)
         self.sess.push_state()
 
     async def change_size(self, size):
@@ -248,12 +252,22 @@ class PooledTier:
                 'and router heartbeats cease')
             raise
 
+    def _check_not_wedged(self):
+        """Fail fast once the watchdog has tripped: new device work would
+        queue behind the stuck call on the single executor thread and hang
+        a full pool_dispatch_timeout each before failing."""
+        if self.wedged:
+            raise web.HTTPServiceUnavailable(
+                text='Style Transfer device backend is unavailable; this '
+                     'instance is draining.')
+
     async def engine_op(self, fn, *args, **kwargs):
         """Runs an engine/session mutation atomically with respect to the
         stepping task: the tick lock excludes an in-flight dispatch+fan-out
         (whose completion writes engine state back and whose fan-out reads
         session bindings), and the single executor thread keeps all device
         work serialized."""
+        self._check_not_wedged()
         async with self.tick_lock:
             return await self._device_call(fn, *args, **kwargs)
 
@@ -273,6 +287,9 @@ class PooledTier:
             return sess, False
         if not create:
             raise web.HTTPForbidden()
+        # Existing sessions above still read host state (e.g. /output's
+        # last snapshot) while wedged; CREATING one needs device work.
+        self._check_not_wedged()
         async with self.lane_lock:
             engine = self.engines[self.default_hw]
             lane = engine.free_lane()
@@ -468,10 +485,11 @@ class PooledTier:
         timeout = self.config.getint('pool_session_timeout', 300)
         while True:
             now = time.monotonic()
-            for sess in list(self.sessions.values()):
-                if not sess.sockets and sess.last_access < now - timeout:
-                    await self.engine_op(self.release, sess)
-            await self.engine_op(self._drop_empty_buckets)
+            if not self.wedged:  # releasing a lane is device work
+                for sess in list(self.sessions.values()):
+                    if not sess.sockets and sess.last_access < now - timeout:
+                        await self.engine_op(self.release, sess)
+                await self.engine_op(self._drop_empty_buckets)
             await asyncio.sleep(5)
 
     # -- HTTP handlers ----------------------------------------------------------
@@ -528,8 +546,13 @@ class PooledTier:
                                        self.config.getint('max_size', 9999))
 
     async def handle_stats(self, request):
+        # Lanes in use vs capacity are SEPARATE numbers (the reference's
+        # /stats reports sessions vs instances, router.py:57-63); round 2
+        # summed max_lanes under the name 'instances', conflating them.
         return render('stats.html', {
-            'instances': sum(e.max_lanes for e in self.engines.values()),
+            'lanes_in_use': sum(bool(a) for e in self.engines.values()
+                                for a in e.active),
+            'capacity': sum(e.max_lanes for e in self.engines.values()),
             'sessions': len(self.sessions),
             'health': 'WEDGED (device watchdog)' if self.wedged else 'ok',
             'timestamp': time.asctime(time.gmtime()),

@@ -27,6 +27,7 @@ from aiohttp import web
 from .. import utils
 from .error_pages import error_pages
 from .render import add_static_routes, render
+from .session import check_control_auth, control_headers
 
 ROOT_DIR = Path(__file__).resolve().parents[2]
 STATE_FILE = 'router_state.json'
@@ -69,11 +70,12 @@ class AppInstance:
                    {sid: now for sid in data.get('sessions', [])})
 
 
-async def send_reset(inst):
+async def send_reset(inst, config=None):
     """Delivers a Reset to an app instance over its control endpoint."""
     try:
         async with aiohttp.ClientSession() as sess:
             await sess.post(inst.addr,
+                            headers=control_headers(config),
                             timeout=aiohttp.ClientTimeout(total=2))
     except Exception as err:
         logger.debug('reset delivery to %s failed: %s', inst.addr, err)
@@ -106,7 +108,7 @@ async def proxy(request):
                 if inst.capacity == 1:
                     # Dedicated instance: clear the previous user's state
                     # (pooled instances manage per-session state themselves).
-                    await send_reset(inst)
+                    await send_reset(inst, app['config'])
                 inst.touch(session_id)
                 app['sessions'][session_id] = inst
                 break
@@ -146,7 +148,7 @@ async def proxy(request):
     except aiohttp.ClientError:
         logger.debug('Expiring session %s on %s', session_id, inst.addr)
         if inst.capacity == 1:
-            await send_reset(inst)
+            await send_reset(inst, app['config'])
         inst.sessions.pop(session_id, None)
         app['sessions'].pop(session_id, None)
         raise web.HTTPInternalServerError()
@@ -187,7 +189,7 @@ async def proxy_ws(request):
     except aiohttp.ClientError:
         logger.debug('Expiring session %s on %s', session_id, inst.addr)
         if inst.capacity == 1:
-            await send_reset(inst)
+            await send_reset(inst, app['config'])
         inst.sessions.pop(session_id, None)
         app['sessions'].pop(session_id, None)
         return ws_user
@@ -211,6 +213,7 @@ async def copy_ws(inst, session_id, a, b):
 
 async def register(request):
     app = request.app
+    check_control_auth(request, app['config'])
     msg = await request.json()
     addr, app_id = msg['addr'], msg['app_id']
     known = app['addrs'].get(addr)
@@ -225,7 +228,7 @@ async def register(request):
                            capacity=msg.get('capacity', 1))
         app['addrs'][addr] = inst
         if inst.capacity == 1:
-            await send_reset(inst)
+            await send_reset(inst, app['config'])
     else:
         known.last_ping = time.monotonic()
     return web.json_response({'ok': True})
@@ -233,6 +236,7 @@ async def register(request):
 
 async def unregister(request):
     app = request.app
+    check_control_auth(request, app['config'])
     msg = await request.json()
     app_id = msg.get('app_id')
     addr_to_del = None
@@ -260,7 +264,7 @@ async def expire_state(app, run_once=False):
                 if last_access < now - timeout:
                     logger.debug('Expiring session %s on %s', sid, addr)
                     if inst.capacity == 1:
-                        await send_reset(inst)
+                        await send_reset(inst, app['config'])
                     inst.sessions.pop(sid, None)
                     app['sessions'].pop(sid, None)
             if inst.last_ping < now - timeout:
@@ -339,6 +343,7 @@ def make_control_app(router_app):
     control = web.Application()
     control['addrs'] = router_app['addrs']
     control['sessions'] = router_app['sessions']
+    control['config'] = router_app['config']
     control.router.add_route('POST', '/__register', register)
     control.router.add_route('POST', '/__unregister', unregister)
     return control

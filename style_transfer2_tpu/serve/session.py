@@ -50,6 +50,38 @@ class SizeRejected(ValueError):
     """A requested resolution change this tier cannot honor."""
 
 
+# -- Control-plane authentication ------------------------------------------
+#
+# The reference's router<->app control channel was unauthenticated ZMQ; this
+# rebuild's is HTTP/JSON, which any network client could hit when the
+# services bind beyond loopback (config.ini documents http_host = 0.0.0.0).
+# Policy: if `control_token` is set in config, every control request must
+# carry it in X-Control-Token; if unset, control endpoints only accept
+# loopback peers.
+
+CONTROL_TOKEN_HEADER = 'X-Control-Token'
+_LOOPBACK_PEERS = ('127.0.0.1', '::1', 'localhost')
+
+
+def control_headers(config):
+    """Headers a control-plane client (heartbeat, reset delivery) attaches."""
+    token = config.get('control_token', '') if config is not None else ''
+    return {CONTROL_TOKEN_HEADER: token} if token else {}
+
+
+def check_control_auth(request, config):
+    """Gate for control-plane handlers; raises 403 on policy violation."""
+    token = config.get('control_token', '') if config is not None else ''
+    if token:
+        if request.headers.get(CONTROL_TOKEN_HEADER) != token:
+            raise web.HTTPForbidden(reason='bad or missing control token')
+        return
+    if request.remote is not None and request.remote not in _LOOPBACK_PEERS:
+        raise web.HTTPForbidden(
+            reason='control plane is loopback-only unless control_token '
+                   'is configured')
+
+
 class Session:
     """Host-side state of one interactive user session.
 
@@ -354,6 +386,7 @@ class RouterLink:
         router_port = config.get('router_control_port', '')
         self.url = ('http://%s:%s' % (router_host, router_port)
                     if router_host and router_port else None)
+        self.headers = control_headers(config)
         self.enabled_check = lambda: True
 
     @property
@@ -375,7 +408,7 @@ class RouterLink:
         try:
             async with aiohttp.ClientSession() as http:
                 await http.post(self.url + '/__register',
-                                json=self._payload(),
+                                json=self._payload(), headers=self.headers,
                                 timeout=aiohttp.ClientTimeout(total=2))
         except Exception as err:
             logger.debug('router ping failed: %s', err)
@@ -392,6 +425,7 @@ class RouterLink:
             async with aiohttp.ClientSession() as http:
                 await http.post(self.url + '/__unregister',
                                 json={'app_id': self.app_id},
+                                headers=self.headers,
                                 timeout=aiohttp.ClientTimeout(total=2))
         except Exception:
             pass

@@ -432,3 +432,98 @@ def test_pool_concurrent_session_churn(pool_client):
         assert not violations, violations
 
     loop.run_until_complete(asyncio.wait_for(body(), 900))
+
+
+def test_pool_restart_worker_keeps_progress(pool_client):
+    """restartWorker on a pooled session costs only optimizer momentum,
+    like the reference (app.py:336-344 re-feeds the live iterate to the
+    fresh worker): the iterate counter and the image survive; round 2
+    re-seeded the lane from random noise."""
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        await a.send({'type': 'start'})
+        info = await a.recv_until('iterateInfo')
+        for _ in range(60):
+            if info['i'] >= 5:
+                break
+            a.got.pop('iterateInfo', None)
+            info = await a.recv_until('iterateInfo')
+        assert info['i'] >= 5
+        before_i = info['i']
+        tier = app['tier']
+        sess = list(tier.sessions.values())[0]
+        img_before = np.float32(
+            await tier.engine_op(tier.engine_of(sess).lane_image, sess.lane))
+
+        await a.send({'type': 'restartWorker'})
+        a.got.pop('state', None)
+        await a.recv_until('state')
+        a.got.pop('iterateInfo', None)
+        info = await a.recv_until('iterateInfo')
+        assert info['i'] > before_i, (info['i'], before_i)
+
+        # The on-device iterate continued from where it was (a random
+        # re-seed would decorrelate it completely).
+        img_after = np.float32(
+            await tier.engine_op(tier.engine_of(sess).lane_image, sess.lane))
+        corr = np.corrcoef(img_before.ravel(), img_after.ravel())[0, 1]
+        assert corr > 0.8, 'iterate lost across restart (corr %.3f)' % corr
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_wedged_fails_fast(pool_client):
+    """Once the watchdog marks the tier wedged, new sessions and engine
+    operations 503 immediately instead of queueing behind the stuck
+    executor call; an existing session's host-state reads still work."""
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        tier = app['tier']
+        tier.wedged = True
+
+        # Existing session: /output serves the last host-side snapshot.
+        resp = await client.get('/output', headers=a._headers())
+        assert resp.status == 200
+
+        # New session: rejected up front.
+        resp = await client.get('/')
+        assert resp.status == 503
+
+        # Engine ops (upload needs device work): rejected up front.
+        import base64
+        buf = io.BytesIO()
+        Image.new('RGB', (40, 40)).save(buf, format='png')
+        data_url = ('data:image/png;base64,'
+                    + base64.b64encode(buf.getvalue()).decode())
+        resp = await client.post(
+            '/upload', data={'size': '32', 'slot': 'style', 'data': data_url},
+            headers=a._headers())
+        assert resp.status == 503
+
+        tier.wedged = False
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_stats_reports_lanes_and_capacity_separately(pool_client):
+    """/stats reports lanes-in-use vs capacity as distinct numbers (the
+    reference's sessions/instances split, router.py:57-63); round 2 summed
+    capacity under the name 'instances'."""
+    client, loop, app = pool_client
+
+    async def body():
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        resp = await client.get('/stats')
+        assert resp.status == 200
+        text = await resp.text()
+        assert '1 active sessions' in text
+        assert '1/2 engine lanes in use' in text
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
