@@ -143,6 +143,20 @@ def main(argv=None):
         ladder = im.scales(target_hw, min_size=args.min_scale)
     else:
         ladder = [target_hw]
+    if placement is not None:
+        # Snap every rung to a mesh-divisible grid: an awkward-aspect 4K
+        # job would otherwise silently replicate (the one regime spatial
+        # sharding exists for). The content squashes by < one shard worth
+        # of pixels.
+        snapped = []
+        for hw in ladder:
+            s = placement.snap_hw(hw)
+            if s != hw:
+                logger.info('snapped %dx%d -> %dx%d for the %d-way mesh',
+                            *hw, *s, placement.n_shards)
+            if s not in snapped:
+                snapped.append(s)
+        ladder = snapped
 
     if args.resume:
         load_checkpoint(st, args.resume)

@@ -17,10 +17,26 @@ mesh's 'space' axis and runs the SAME fused step:
 This is the idiomatic-GSPMD formulation: annotate the inputs, jit the same
 program, let the compiler place the collectives. The engine applies a
 placement via StyleTransfer(placement=SpatialPlacement(mesh)).
+
+Divisibility: jax.device_put requires the sharded dimension to divide by
+the axis size. Callers should pick grids via snap_hw() so H divides; when
+it does not, the placement falls back to sharding W, and only replicates —
+LOUDLY — when neither axis divides AND the array is large enough that
+replication defeats the memory scaling (the 4K regime this placement
+exists for). Small deep-pool features replicate silently by design.
 """
+
+import logging
 
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger('parallel')
+
+# Replicating arrays below this size is free (deep pyramid levels at any
+# resolution); above it, a silent fallback would quietly forfeit the memory
+# scaling that spatial sharding exists to provide.
+_WARN_BYTES = 64 * 1024 * 1024
 
 
 class SpatialPlacement:
@@ -39,24 +55,59 @@ class SpatialPlacement:
             axis = mesh.axis_names[0]
         self.mesh = mesh
         self.axis = axis
+        self._warned_shapes = set()
+
+    @property
+    def n_shards(self):
+        return self.mesh.shape[self.axis]
+
+    def snap_hw(self, hw):
+        """The nearest grid at/above `hw` whose H (the preferred sharding
+        axis) divides by the mesh axis — what sizing layers (CLI ladder,
+        serving size_snap) should feed the engine so placements never
+        silently degrade. W is snapped too so width-fallback sharding of
+        aspect-flipped jobs also lands."""
+        n = self.n_shards
+        return tuple(-(-int(d) // n) * n for d in hw)
 
     def _sharding(self, shape):
-        """H-axis sharding for image-like ranks; arrays whose H is not
-        divisible by the axis size (deep pools at small resolutions)
-        replicate — at high resolution (the regime this placement exists
-        for) every conv feature shards."""
+        """H-axis sharding for image-like ranks, W-axis when H does not
+        divide (a snapped-H job still shards every even pyramid level; an
+        unsnapped one at least keeps its widest arrays distributed)."""
         ndim = len(shape)
-        n_shards = self.mesh.shape[self.axis]
+        n_shards = self.n_shards
         if ndim == 4 and shape[1] % n_shards == 0:
             spec = P(None, self.axis, None, None)
+        elif ndim == 4 and shape[2] % n_shards == 0:
+            spec = P(None, None, self.axis, None)
         elif ndim == 5 and shape[2] % n_shards == 0:
             spec = P(None, None, self.axis, None, None)
+        elif ndim == 5 and shape[3] % n_shards == 0:
+            spec = P(None, None, None, self.axis, None)
         else:
+            self._note_replication(shape)
             spec = P()
         return NamedSharding(self.mesh, spec)
 
+    def _note_replication(self, shape):
+        """A big array replicating is the failure mode VERDICT r2 flagged:
+        a 3840px job at an awkward aspect ratio would run unsharded and
+        OOM with no hint why. Make it loud (once per shape)."""
+        import numpy as np
+        if len(shape) < 4 or shape in self._warned_shapes:
+            return
+        if int(np.prod(shape)) * 4 < _WARN_BYTES:
+            return
+        self._warned_shapes.add(shape)
+        logger.warning(
+            'spatial sharding FELL BACK TO REPLICATION for shape %s: '
+            'neither H nor W divides by the %d-way %r mesh axis — this '
+            'array occupies full memory on EVERY device. Snap the job '
+            'size with SpatialPlacement.snap_hw() (CLI/serving do when a '
+            'mesh is configured).', shape, self.n_shards, self.axis)
+
     def image(self, x):
-        """Places a (1, H, W, C) array sharded on H."""
+        """Places a (1, H, W, C) array sharded on H (W as fallback)."""
         return jax.device_put(x, self._sharding(x.shape))
 
     def replicated(self, x):

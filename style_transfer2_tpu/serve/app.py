@@ -69,6 +69,7 @@ class SingleSessionTier(sn.EngineActions):
         self.pump_task = None
         self.tasks = []
         self.model_params = None
+        self.placement = None
         self.router = sn.RouterLink(
             config, self.instance_id,
             host=config['http_host'], port=config['http_port'])
@@ -81,6 +82,15 @@ class SingleSessionTier(sn.EngineActions):
 
     def _snap(self, size):
         return snap_size(size, self.config.getint('size_snap', 0))
+
+    def _snap_grid(self, hw):
+        """Ties the session grid to the mesh: under spatial sharding every
+        (H, W) the tier picks must divide by the mesh axis, or the
+        placement degrades to replication exactly at high resolution where
+        it matters (VERDICT r2 #4)."""
+        if self.placement is None:
+            return tuple(hw)
+        return self.placement.snap_hw(hw)
 
     # -- driver lifecycle -----------------------------------------------------
 
@@ -103,6 +113,7 @@ class SingleSessionTier(sn.EngineActions):
         pipeline_default = 2 if adaptive > 1 else 1
         self.driver = Driver(
             self.model_params,
+            placement=self.placement,
             precision=self.config.get('precision', 'float32'),
             use_pallas=self.config.getboolean('pallas', False),
             steps_per_dispatch=self.config.getint('steps_per_dispatch', 1),
@@ -196,7 +207,9 @@ class SingleSessionTier(sn.EngineActions):
         style = utils.resize_to_fit(sess.style_image, int(sess.style_size))
 
         reset_state = False
-        grid = (content.size[1], content.size[0])
+        grid = self._snap_grid((content.size[1], content.size[0]))
+        if grid != (content.size[1], content.size[0]):
+            content = sess.content_image.resize(grid[::-1], Image.LANCZOS)
         if sess.input_arr is None:
             sess.input_arr = sn.fresh_random_input(grid)
             sess.input_was_reset = True
@@ -243,7 +256,8 @@ class SingleSessionTier(sn.EngineActions):
         size = self._snap(size)
         if size == max(sess.input_arr.shape):
             return size
-        hw = utils.fit_into_square(sess.input_arr.shape[:2], size, True)
+        hw = self._snap_grid(
+            utils.fit_into_square(sess.input_arr.shape[:2], size, True))
         content = np.uint8(sess.content_image.resize(hw[::-1], Image.LANCZOS))
         sess.its_per_s.clear()
         if sess.i <= 1:
@@ -287,7 +301,9 @@ class SingleSessionTier(sn.EngineActions):
             sess.push('thumbnails', style=sess.thumbnail('style'))
         elif slot == 'content':
             arr = np.uint8(utils.resize_to_fit(image, self._snap(size)))
-            hw = arr.shape[:2]
+            hw = self._snap_grid(arr.shape[:2])
+            if hw != arr.shape[:2]:
+                arr = np.uint8(image.resize(hw[::-1], Image.LANCZOS))
             if sess.i <= 1:
                 input_image = sn.fresh_random_input(hw)
                 sess.input_arr = input_image
@@ -345,6 +361,14 @@ class SingleSessionTier(sn.EngineActions):
     async def on_startup(self, app):
         self.model_params = resolve_params(
             self.config.get('weights', 'auto'), ROOT_DIR)
+        mesh_spec = self.config.get('mesh', '')
+        if mesh_spec:
+            from ..parallel import SpatialPlacement, make_mesh
+            self.placement = SpatialPlacement(
+                make_mesh(mesh_spec, axis_names=('space',)))
+            logger.info('spatial sharding over %d devices; session grids '
+                        'snap to multiples of %d',
+                        self.placement.n_shards, self.placement.n_shards)
         self.sess.load_defaults(self.config, ROOT_DIR)
         self._spawn_driver()
         await self.feed_engine_state()

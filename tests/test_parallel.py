@@ -282,3 +282,80 @@ def test_batched_engine_bf16_block1_s2d():
             _, tr = st.step()
             np.testing.assert_allclose(per_lane[lane][i]['loss'], tr['loss'],
                                        rtol=2e-2)
+
+
+def test_spatial_sharding_uneven_h_falls_back_to_w():
+    """H % n_shards != 0 must still shard (VERDICT r2 #4): the placement
+    falls back to the W axis instead of silently replicating."""
+    mesh = make_mesh(4, axis_names=('space',))
+    placement = SpatialPlacement(mesh)
+    x = placement.image(jnp.zeros((1, 66, 64, 3)))
+    shard_shapes = {s.data.shape for s in x.addressable_shards}
+    assert shard_shapes == {(1, 66, 16, 3)}  # 64 cols over 4 devices
+    # 5-D (L-BFGS history) rank takes the same fallback.
+    h = placement.state(jnp.zeros((5, 1, 66, 64, 3)))
+    shard_shapes = {s.data.shape for s in h.addressable_shards}
+    assert shard_shapes == {(5, 1, 66, 16, 3)}
+
+
+def test_spatial_sharding_uneven_h_matches_single_device():
+    """Full-engine equivalence on a W-sharded grid (H indivisible)."""
+    hw = (34, 32)
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, hw + (3,)).astype(np.uint8)
+            for _ in range(3)]
+
+    def run(placement):
+        st = StyleTransfer(random_params(2), placement=placement)
+        st.set_weights(WEIGHTS, SCALARS)
+        st.set_optimizer('adam')
+        st.set_step_size(10.0)
+        st.set_content(imgs[0])
+        st.set_style(imgs[1])
+        st.set_input(imgs[2])
+        assert st.start()
+        traces = []
+        for _ in range(2):
+            img, trace = st.step()
+            traces.append(trace)
+        return img, traces
+
+    mesh = make_mesh(4, axis_names=('space',))
+    img_s, traces_s = run(SpatialPlacement(mesh))
+    img_u, traces_u = run(None)
+    for ts, tu in zip(traces_s, traces_u):
+        for key in tu:
+            if key == 'time':
+                continue
+            np.testing.assert_allclose(
+                ts[key], tu[key], rtol=5e-4, atol=1e-6,
+                err_msg='trace key %r diverged under W sharding' % key)
+    np.testing.assert_allclose(img_s, img_u, rtol=1e-3, atol=0.1)
+
+
+def test_snap_hw():
+    mesh = make_mesh(8, axis_names=('space',))
+    p = SpatialPlacement(mesh)
+    assert p.snap_hw((1030, 771)) == (1032, 776)
+    assert p.snap_hw((1024, 768)) == (1024, 768)
+    assert p.snap_hw((3, 5)) == (8, 8)   # never below one row per shard
+
+
+def test_spatial_replication_fallback_is_loud(caplog):
+    """Large arrays that replicate (neither axis divides) warn once;
+    small deep-pyramid features replicate silently by design."""
+    import logging
+
+    mesh = make_mesh(4, axis_names=('space',))
+    p = SpatialPlacement(mesh)
+    big = jnp.zeros((1, 2049, 2049, 4))  # 67 MB, both axes indivisible
+    with caplog.at_level(logging.WARNING, logger='parallel'):
+        p.image(big)
+        p.image(big)  # warned once per shape
+    warned = [r for r in caplog.records if 'REPLICATION' in r.message]
+    assert len(warned) == 1
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger='parallel'):
+        p.image(jnp.zeros((1, 3, 3, 512)))
+    assert not caplog.records

@@ -720,3 +720,56 @@ def test_driver_dispatch_watchdog():
             await task
         assert asyncio.get_event_loop().time() - t0 < 5.0
     run(body())
+
+
+def test_app_mesh_snaps_session_grids(tmp_path):
+    """With a spatial mesh configured, every grid the tier picks (startup
+    feed, size change, content upload) divides by the mesh axis, so the
+    placement never silently degrades to replication (VERDICT r2 #4)."""
+    from style_transfer2_tpu.serve.app import init
+
+    config = _test_config(tmp_path)
+    config['mesh'] = '4'
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    app = init(config=config)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+
+    async def body():
+        tier = app['tier']
+        assert tier.placement is not None and tier.placement.n_shards == 4
+
+        ws = await client.ws_connect('/websocket')
+
+        async def recv_until(wanted, limit=300):
+            for _ in range(limit):
+                msg = await asyncio.wait_for(ws.receive(), 240)
+                data = json.loads(msg.data)
+                if data['type'] == wanted:
+                    return data
+            raise AssertionError('never received %s' % wanted)
+
+        await recv_until('workerReady')
+        # Startup grid is snapped.
+        assert tier.sess.input_arr.shape[0] % 4 == 0
+        assert tier.sess.input_arr.shape[1] % 4 == 0
+
+        # Content upload with an awkward aspect: the chosen grid snaps.
+        resp = await client.post('/upload', data={
+            'size': '47', 'slot': 'content', 'data': _data_url((41, 37), 5)})
+        assert resp.status == 200
+        new_size = await recv_until('newSize')
+        assert new_size['height'] % 4 == 0 and new_size['width'] % 4 == 0
+
+        # And it still iterates (the engine really runs on this grid).
+        await ws.send_str(json.dumps({'type': 'start'}))
+        info = await recv_until('iterateInfo')
+        assert np.isfinite(info['trace']['loss'])
+        await ws.close()
+
+    try:
+        loop.run_until_complete(asyncio.wait_for(body(), 300))
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
