@@ -17,7 +17,7 @@ import io
 
 import numpy as np
 
-from .vgg19 import CONV_SPECS, _IN_CHANNELS
+from .vgg19 import CONV_SPECS, MEAN_RGB, _IN_CHANNELS
 
 
 def resolve_params(spec='auto', root=None):
@@ -221,6 +221,99 @@ def params_from_caffemodel(path):
 
 
 # ---------------------------------------------------------------------------
+# Caffemodel (protobuf wire format) writing.
+#
+# The inverse of params_from_caffemodel: serializes a params dict into
+# genuine NetParameter wire bytes, faithful to the file download_models.sh
+# fetches (legacy V1LayerParameter entries with num/channels/height/width
+# blob dims and interleaved parameter-free relu/pool layers). Used by
+# tools/torchvision_to_caffemodel.py to produce models/vgg19.caffemodel
+# from a torchvision checkpoint, and by tests to exercise the parser on a
+# FULL-SCALE model (reference load path: worker.py:46-61).
+# ---------------------------------------------------------------------------
+
+def _write_varint(value):
+    out = bytearray()
+    while True:
+        bits = value & 0x7F
+        value >>= 7
+        out.append(bits | 0x80 if value else bits)
+        if not value:
+            return bytes(out)
+
+
+def _write_field(field, wire_type):
+    return _write_varint((field << 3) | wire_type)
+
+
+def _write_delim(field, payload):
+    return _write_field(field, 2) + _write_varint(len(payload)) + payload
+
+
+def _write_blob(arr, shape, modern):
+    """BlobProto: packed float32 data (field 5) plus either BlobShape
+    (field 7, modern) or legacy num/channels/height/width (fields 1-4)."""
+    out = b''
+    if modern:
+        dims = b''.join(_write_varint(d) for d in shape)
+        out += _write_delim(7, _write_delim(1, dims))
+    else:
+        legacy = shape if len(shape) == 4 else (1,) * (4 - len(shape)) + tuple(shape)
+        for field, dim in zip((1, 2, 3, 4), legacy):
+            out += _write_field(field, 0) + _write_varint(dim)
+    out += _write_delim(5, np.ascontiguousarray(arr, '<f4').tobytes())
+    return out
+
+
+def _write_layer(name, type_str, type_enum, blobs, modern):
+    if modern:  # LayerParameter (field 100): name=1, type=2, blobs=7
+        payload = _write_delim(1, name.encode())
+        payload += _write_delim(2, type_str.encode())
+        for blob in blobs:
+            payload += _write_delim(7, blob)
+        return _write_delim(100, payload)
+    # V1LayerParameter (field 2): name=4, type=5 (enum), blobs=6
+    payload = _write_delim(4, name.encode())
+    payload += _write_field(5, 0) + _write_varint(type_enum)
+    for blob in blobs:
+        payload += _write_delim(6, blob)
+    return _write_delim(2, payload)
+
+
+# V1LayerParameter.LayerType enum values (caffe.proto).
+_V1_CONVOLUTION, _V1_RELU, _V1_POOLING = 4, 18, 17
+
+
+def write_caffemodel(params, path, net_name='VGG_ILSVRC_19_layers',
+                     modern=False):
+    """Serializes a params dict to Caffe NetParameter wire bytes.
+
+    modern=False (default) writes the legacy V1 encoding the real
+    truncated VGG-19 caffemodel uses; modern=True writes LayerParameter
+    entries with BlobShape dims. Both round-trip bit-exactly through
+    params_from_caffemodel.
+    """
+    out = _write_delim(1, net_name.encode())
+    blocks = {}
+    for conv, _ in CONV_SPECS:
+        blocks.setdefault(conv[4], []).append(conv)
+    for block in sorted(blocks):
+        for conv in blocks[block]:
+            w = np.asarray(params[conv]['w'], np.float32)   # HWIO
+            b = np.asarray(params[conv]['b'], np.float32)
+            oihw = np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+            out += _write_layer(conv, 'Convolution', _V1_CONVOLUTION, [
+                _write_blob(oihw.ravel(), oihw.shape, modern),
+                _write_blob(b, b.shape, modern)], modern)
+            out += _write_layer('relu' + conv[4:], 'ReLU', _V1_RELU, [],
+                                modern)
+        out += _write_layer('pool%s' % block, 'Pooling', _V1_POOLING, [],
+                            modern)
+    with open(path, 'wb') as f:
+        f.write(out)
+
+
+# ---------------------------------------------------------------------------
 # torchvision conversion
 # ---------------------------------------------------------------------------
 
@@ -234,14 +327,30 @@ _TORCHVISION_INDEX = {
 }
 
 
-def params_from_torchvision(state_dict):
+# torchvision's input normalization (vgg19 weights card): p = raw/255,
+# then per-channel (p - mean) / std.
+_TORCHVISION_MEAN = np.float32([0.485, 0.456, 0.406])
+_TORCHVISION_STD = np.float32([0.229, 0.224, 0.225])
+
+
+def params_from_torchvision(state_dict, caffe_scale=False):
     """Converts a torchvision ``vgg19().state_dict()`` (or its ``features``
     submodule state_dict) to our params format.
 
-    Note: torchvision weights expect 0-1-normalized RGB input; the Caffe-style
-    0-255 mean-subtracted preprocessing used by the engine will drive them at
-    a 255x larger input scale. They produce a working (but numerically
-    different) feature extractor; for reference-parity use a caffemodel.
+    caffe_scale=False returns the blobs verbatim: torchvision weights
+    expect 0-1-normalized RGB input, so the engine's Caffe-style 0-255
+    mean-subtracted preprocessing drives them at a 255x larger input scale
+    (working, but far off the trained operating point).
+
+    caffe_scale=True folds torchvision's input normalization into conv1_1
+    so the converted net sees EXACTLY its trained activations under the
+    engine's preprocessing: with t = (raw/255 - mean)/std (torch input)
+    and c = raw - MEAN_RGB (ours), conv1_1 is affine in its input, so
+    scaling its weights per input channel by 1/(255*std) and folding the
+    constant offset (MEAN_RGB - 255*mean)/ (255*std) into the bias makes
+    W'c + b' == Wt + b identically. Interior pixels match torchvision's
+    pipeline to float precision; a 1-pixel border ring differs because
+    SAME-padding zeros mean different raw values in the two input spaces.
     """
     params = {}
     for name, idx in _TORCHVISION_INDEX.items():
@@ -257,4 +366,11 @@ def params_from_torchvision(state_dict):
                 break
         else:
             raise KeyError('State dict is missing weights for %s' % name)
+    if caffe_scale:
+        w = params['conv1_1']['w']                       # (3, 3, 3, out)
+        w = w / (255.0 * _TORCHVISION_STD)[None, None, :, None]
+        delta = MEAN_RGB - 255.0 * _TORCHVISION_MEAN     # per channel
+        b = params['conv1_1']['b'] + np.einsum('ijco,c->o',
+                                               np.float64(w), delta)
+        params['conv1_1'] = {'w': np.float32(w), 'b': np.float32(b)}
     return params

@@ -233,3 +233,129 @@ def test_caffemodel_faithful_structure(tmp_path, rng):
     for name in expected:
         np.testing.assert_array_equal(params[name]['w'], expected[name]['w'])
         np.testing.assert_array_equal(params[name]['b'], expected[name]['b'])
+
+
+# -- Full-scale caffemodel writing + the torchvision caffe_scale fold ----------
+
+def test_write_caffemodel_full_scale_roundtrip(tmp_path):
+    """write_caffemodel -> params_from_caffemodel is bit-exact on a
+    FULL-SCALE model (every conv at its real width — the file is the same
+    ~80 MB of float32 the real truncated caffemodel carries), in both the
+    legacy V1 encoding the real file uses and the modern one."""
+    from style_transfer2_tpu.models.weights import write_caffemodel
+
+    params = random_params(11)
+    for modern in (False, True):
+        path = tmp_path / ('full_%s.caffemodel' % modern)
+        write_caffemodel(params, path, modern=modern)
+        assert path.stat().st_size > 70e6   # genuinely full scale
+        loaded = params_from_caffemodel(path)
+        assert set(loaded) == set(params)
+        for name in params:
+            np.testing.assert_array_equal(loaded[name]['w'],
+                                          np.float32(params[name]['w']))
+            np.testing.assert_array_equal(loaded[name]['b'],
+                                          np.float32(params[name]['b']))
+
+
+def _torch_vgg19_features(rng):
+    """The torchvision vgg19().features stack, built in plain torch (no
+    torchvision in this image) to the public layout: conv indices
+    0,2 / 5,7 / 10,12,14,16 / 19,21,23,25 / 28,30,32,34 with 2x2 pools."""
+    import torch
+    import torch.nn as nn
+    cfg = [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 256, 'M',
+           512, 512, 512, 512, 'M', 512, 512, 512, 512, 'M']
+    layers = []
+    in_c = 3
+    for v in cfg:
+        if v == 'M':
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(nn.ReLU())
+            in_c = v
+    seq = nn.Sequential(*layers)
+    with torch.no_grad():
+        for mod in seq:
+            if isinstance(mod, nn.Conv2d):
+                mod.weight.copy_(torch.from_numpy(
+                    (rng.randn(*mod.weight.shape) * 0.05).astype(np.float32)))
+                mod.bias.copy_(torch.from_numpy(
+                    (rng.randn(*mod.bias.shape) * 0.05).astype(np.float32)))
+    return seq
+
+
+def test_caffe_scale_fold_matches_torch_pipeline(rng):
+    """params_from_torchvision(caffe_scale=True) folds torchvision's input
+    normalization into conv1_1: the engine's Caffe-style preprocessing then
+    produces the SAME activations torchvision's own pipeline would — the
+    property that makes a torchvision-sourced caffemodel run at its trained
+    operating point. Interior-exact; the border ring differs because
+    SAME-padding zeros mean different raw values in the two input spaces."""
+    import torch
+    from style_transfer2_tpu.models import preprocess
+    from style_transfer2_tpu.models.vgg19 import VGG19Features
+
+    seq = _torch_vgg19_features(rng)
+    params = params_from_torchvision(seq.state_dict(), caffe_scale=True)
+
+    raw = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    mean = torch.tensor([0.485, 0.456, 0.406])[:, None, None]
+    std = torch.tensor([0.229, 0.224, 0.225])[:, None, None]
+    p = torch.from_numpy(
+        raw.transpose(2, 0, 1)[None].astype(np.float32) / 255.0)
+    t = (p - mean) / std
+    with torch.no_grad():
+        torch_c11 = seq[:2](t).numpy()     # conv1_1 + relu
+        torch_c31 = seq[:12](t).numpy()    # through conv3_1 + relu
+
+    model = VGG19Features(params)
+    ours = model.forward(preprocess(raw), ('conv1_1', 'conv3_1'))
+
+    ours_c11 = np.transpose(np.asarray(ours['conv1_1'])[0], (2, 0, 1))[None]
+    np.testing.assert_allclose(ours_c11[..., 1:-1, 1:-1],
+                               torch_c11[..., 1:-1, 1:-1],
+                               rtol=1e-4, atol=1e-4)
+    # Border contamination reaches 3 pixels at conv3_1's 16x16 resolution.
+    ours_c31 = np.transpose(np.asarray(ours['conv3_1'])[0], (2, 0, 1))[None]
+    np.testing.assert_allclose(ours_c31[..., 3:-3, 3:-3],
+                               torch_c31[..., 3:-3, 3:-3],
+                               rtol=1e-3, atol=1e-3)
+
+    # Without the fold, the same raw image lands far off the trained
+    # operating point (the 0-255-scale caveat the fold exists to fix).
+    plain = params_from_torchvision(seq.state_dict())
+    far = VGG19Features(plain).forward(preprocess(raw), ('conv1_1',))
+    far_c11 = np.transpose(np.asarray(far['conv1_1'])[0], (2, 0, 1))[None]
+    assert np.abs(far_c11).mean() > 10 * np.abs(torch_c11).mean()
+
+
+def test_auto_resolve_written_caffemodel_stylizes(tmp_path):
+    """resolve_params('auto') discovers a write_caffemodel-produced file
+    exactly like the reference's downloaded one (worker.py:46-61) and the
+    engine stylizes with it end to end."""
+    from style_transfer2_tpu.engine import StyleTransfer
+    from style_transfer2_tpu.models.weights import write_caffemodel
+
+    (tmp_path / 'models').mkdir()
+    write_caffemodel(random_params(1), tmp_path / 'models/vgg19.caffemodel')
+    params = resolve_params('auto', root=tmp_path)
+    np.testing.assert_array_equal(params['conv1_1']['w'],
+                                  np.float32(random_params(1)['conv1_1']['w']))
+
+    rng = np.random.RandomState(0)
+    content = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    style = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    st = StyleTransfer(params)
+    st.set_weights({'content': {'conv4_2': 0.08},
+                    'style': {'conv1_1': 1.0, 'conv2_1': 1.0},
+                    'deepdream': {}},
+                   {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0})
+    st.set_optimizer('lbfgs')
+    st.set_content(content)
+    st.set_style(style)
+    st.set_input(rng.uniform(0, 255, content.shape).astype(np.uint8))
+    assert st.start()
+    losses = [st.step()[1]['loss'] for _ in range(5)]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
