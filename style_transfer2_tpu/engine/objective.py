@@ -153,7 +153,7 @@ def empty_norms(spec):
 
 
 def make_objective(spec, precision, compute_dtype, use_pallas=False,
-                   remat=False):
+                   remat=False, block1_s2d=True):
     """Returns objective(params, x, content_feats, grams, layer_weights,
     scalars, norms_vals, norms_set) -> (loss, grad, (norms_vals', norms_set'),
     trace_tuple). Pure — safe to close over inside a larger jitted step."""
@@ -161,7 +161,7 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
     def objective(params, x, content_feats, grams, layer_weights, scalars,
                   norms_vals, norms_set, temporal_target=None):
         model = vgg19.VGG19Features(params, precision, compute_dtype,
-                                    remat)
+                                    remat, block1_s2d)
         feats, vjp = model.features_and_vjp(x, spec.layers)
 
         loss = jnp.float32(0.0)

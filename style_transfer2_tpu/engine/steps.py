@@ -42,7 +42,7 @@ def precision_config(name):
 @functools.lru_cache(maxsize=64)
 def build_step_core(spec, optimizer, precision='float32',
                     b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
-                    use_pallas=False, remat=False):
+                    use_pallas=False, remat=False, block1_s2d=True):
     """Returns (step_core, eval_core) — pure, un-jitted.
 
     Signatures (all pytree args):
@@ -53,7 +53,7 @@ def build_step_core(spec, optimizer, precision='float32',
     """
     lax_precision, compute_dtype = precision_config(precision)
     objective = make_objective(spec, lax_precision, compute_dtype,
-                               use_pallas, remat)
+                               use_pallas, remat, block1_s2d)
 
     def make_opfunc(params, inputs):
         def opfunc(x):
@@ -94,11 +94,11 @@ def build_step_core(spec, optimizer, precision='float32',
 @functools.lru_cache(maxsize=64)
 def build_step_fns(spec, optimizer, precision='float32',
                    b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
-                   use_pallas=False, remat=False):
+                   use_pallas=False, remat=False, block1_s2d=True):
     """The jitted (step_fn, eval_fn) pair for interactive single-stepping.
     The optimizer state is donated — its buffers are reused in place."""
     step_core, eval_core = build_step_core(spec, optimizer, precision, b1,
-                                           b2, use_pallas, remat)
+                                           b2, use_pallas, remat, block1_s2d)
     step_fn = jax.jit(step_core, donate_argnums=(1,))
     eval_fn = None if eval_core is None else jax.jit(eval_core,
                                                      donate_argnums=(1,))
@@ -108,7 +108,7 @@ def build_step_fns(spec, optimizer, precision='float32',
 @functools.lru_cache(maxsize=64)
 def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
                   b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
-                  use_pallas=False, remat=False):
+                  use_pallas=False, remat=False, block1_s2d=True):
     """K optimizer steps fused into one dispatch via lax.scan.
 
     scan_fn(params, state, inputs, step_size)
@@ -121,7 +121,7 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
     first-eval caching behaves identically to K separate steps.
     """
     step_core, _ = build_step_core(spec, optimizer, precision, b1, b2,
-                                   use_pallas, remat)
+                                   use_pallas, remat, block1_s2d)
 
     def scan_fn(params, state, inputs, step_size):
         def body(carry, _):

@@ -52,25 +52,35 @@ class StyleTransfer:
     optimizer pytree. API parity with reference worker.py:117-315."""
 
     def __init__(self, params, precision='float32', n_corr=10, placement=None,
-                 use_pallas=False, remat=False):
+                 use_pallas=False, remat=False, block1_s2d=None):
         """placement: optional parallel.SpatialPlacement — shards the image
         axis of every array over a device mesh for high-res jobs; the same
         jitted step then runs SPMD with XLA-inserted halo exchanges.
         use_pallas: route the style branch through the fused Pallas kernel
         (TPU only; incompatible with spatial placement). remat:
         rematerialize convs in the backward pass — residual memory drops to
-        the feature taps, enabling 2K+ single-chip resolutions."""
+        the feature taps, enabling 2K+ single-chip resolutions.
+        block1_s2d: None (auto) enables the block-1 space-to-depth path
+        except under spatial sharding; True/False force it (the hardware
+        A/B knob for the sharded regime)."""
         self.params = params
         self.precision = precision
         self.n_corr = n_corr
         self.placement = placement
         self.use_pallas = use_pallas and placement is None
         self.remat = remat
+        # Block-1 space-to-depth stays off under spatial sharding (auto):
+        # the 6-D shuffle across a sharded H axis can force cross-shard
+        # regrouping, and its 1.22x win was only measured single-chip
+        # (512px bf16). Pass block1_s2d=True to A/B it there on hardware.
+        self.block1_s2d = (placement is None if block1_s2d is None
+                           else bool(block1_s2d))
         if placement is not None:
             self.params = placement.replicated(params)
         lax_precision, compute_dtype = precision_config(precision)
         self.model = vgg19.VGG19Features(self.params, lax_precision,
-                                         compute_dtype, remat)
+                                         compute_dtype, remat,
+                                         self.block1_s2d)
 
         self.is_running = False
         self.is_starting = False
@@ -367,7 +377,8 @@ class StyleTransfer:
         step_fn, eval_fn = build_step_fns(spec, self.optimizer_name,
                                           self.precision,
                                           use_pallas=self.use_pallas,
-                                          remat=self.remat)
+                                          remat=self.remat,
+                                          block1_s2d=self.block1_s2d)
         self._prime_if_needed(spec, eval_fn)
 
         inputs = self._gather_inputs(spec)
@@ -393,12 +404,14 @@ class StyleTransfer:
         spec = self.spec()
         _, eval_fn = build_step_fns(spec, self.optimizer_name, self.precision,
                                     use_pallas=self.use_pallas,
-                                    remat=self.remat)
+                                    remat=self.remat,
+                                    block1_s2d=self.block1_s2d)
         self._prime_if_needed(spec, eval_fn)
 
         scan_fn = build_scan_fn(spec, self.optimizer_name, self.precision,
                                 n_steps, use_pallas=self.use_pallas,
-                                remat=self.remat)
+                                remat=self.remat,
+                                block1_s2d=self.block1_s2d)
         inputs = self._gather_inputs(spec)
         self.opt_state, norms, traces, image = scan_fn(
             self.params, self.opt_state, inputs, self._step_size_device())

@@ -294,9 +294,11 @@ def _conv1_s2d(x, w, b, precision):
 
 
 @functools.partial(jax.jit, static_argnames=('layers', 'precision',
-                                             'compute_dtype', 'remat'))
+                                             'compute_dtype', 'remat',
+                                             'block1_s2d'))
 def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST,
-                     compute_dtype=jnp.float32, remat=False):
+                     compute_dtype=jnp.float32, remat=False,
+                     block1_s2d=True):
     """Runs the network forward, returning a dict of feature maps for the
     requested blob names (default: all blobs), like CaffeModel.forward
     (reference worker.py:77-86) — but stops at the deepest requested blob
@@ -312,6 +314,11 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
       remat: rematerialize each conv in the backward pass — residual memory
         drops from every conv activation to the feature taps alone, enabling
         2K+ single-chip resolutions at ~1.5x backward FLOPs.
+      block1_s2d: caller-level gate on the block-1 space-to-depth path.
+        The engine passes False under spatial sharding: the 6-D
+        reshape/transpose across a sharded H axis can force cross-shard
+        regrouping, and the 1.22x win was only ever measured single-chip
+        (512px bf16). BLOCK1_S2D='always' overrides, for the hardware A/B.
     """
     if layers is None:
         layers = BLOB_NAMES
@@ -347,6 +354,7 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
     # resolutions; float32 keeps the direct convs so the parity-mode
     # summation order is untouched ('always' forces it on, for tests).
     use_b1 = (BLOCK1_S2D and even and not use_s2d
+              and (block1_s2d or BLOCK1_S2D == 'always')
               and (compute_dtype == jnp.bfloat16 or BLOCK1_S2D == 'always'))
 
     # In bf16 mode the trunk runs bf16 end-to-end (uniform dtypes keep the
@@ -402,11 +410,12 @@ class VGG19Features:
     of the reference's CaffeModel (worker.py:32-106)."""
 
     def __init__(self, params, precision=jax.lax.Precision.HIGHEST,
-                 compute_dtype=jnp.float32, remat=False):
+                 compute_dtype=jnp.float32, remat=False, block1_s2d=True):
         self.params = params
         self.precision = precision
         self.compute_dtype = compute_dtype
         self.remat = remat
+        self.block1_s2d = block1_s2d
 
     def layers(self):
         """All blob names, like CaffeModel.layers()."""
@@ -422,7 +431,7 @@ class VGG19Features:
         layers = tuple(layers) if layers is not None else BLOB_NAMES
         return extract_features(self.params, x, layers,
                                 self.precision, self.compute_dtype,
-                                self.remat)
+                                self.remat, self.block1_s2d)
 
     def features_and_vjp(self, x, layers):
         """Returns (features dict, vjp function). The vjp over injected
@@ -433,7 +442,7 @@ class VGG19Features:
         def f(x_):
             feats = extract_features(self.params, x_, layers,
                                      self.precision, self.compute_dtype,
-                                     self.remat)
+                                     self.remat, self.block1_s2d)
             return tuple(feats[l] for l in layers)
 
         outs, vjp_fn = jax.vjp(f, x)

@@ -217,10 +217,10 @@ def test_spatial_sharding_with_scan():
     np.testing.assert_allclose(img_s, img_u, rtol=1e-3, atol=0.1)
 
 
-def _run_transfer_prec(placement, precision, n_steps=3):
+def _run_transfer_prec(placement, precision, n_steps=3, block1_s2d=None):
     rng = np.random.RandomState(3)
     st = StyleTransfer(random_params(2), precision=precision,
-                       placement=placement)
+                       placement=placement, block1_s2d=block1_s2d)
     st.set_weights(WEIGHTS, SCALARS)
     st.set_optimizer('lbfgs')
     st.set_step_size(1.0)
@@ -237,10 +237,18 @@ def _run_transfer_prec(placement, precision, n_steps=3):
 
 
 def test_spatial_sharding_bf16_block1_s2d():
-    """bf16 at an even size activates the block-1 space-to-depth path; it
-    must compile and track the unsharded bf16 run under GSPMD spatial
-    sharding (reduction orders differ -> loose bf16 tolerances)."""
+    """Under spatial sharding the block-1 space-to-depth path is gated OFF
+    by default (its 1.22x win is single-chip-only until the sharded A/B
+    runs on hardware — ADVICE r2); the gated sharded run must still track
+    the unsharded bf16 run, which DOES use s2d (the two paths are the same
+    math). block1_s2d=True forces the path on under sharding — the
+    hardware A/B configuration — and must also compile and track."""
     mesh = make_mesh('2x4')
+    assert StyleTransfer(random_params(2), precision='bfloat16',
+                         placement=SpatialPlacement(mesh)).block1_s2d is False
+    assert StyleTransfer(random_params(2),
+                         precision='bfloat16').block1_s2d is True
+
     img_sh, traces_sh = _run_transfer_prec(SpatialPlacement(mesh), 'bfloat16')
     img_un, traces_un = _run_transfer_prec(None, 'bfloat16')
     for ts, tu in zip(traces_sh, traces_un):
@@ -248,6 +256,12 @@ def test_spatial_sharding_bf16_block1_s2d():
         np.testing.assert_allclose(ts['loss'], tu['loss'], rtol=2e-2)
     assert img_sh.shape == img_un.shape
     np.testing.assert_allclose(img_sh, img_un, rtol=0.1, atol=3.0)
+
+    img_f, traces_f = _run_transfer_prec(SpatialPlacement(mesh), 'bfloat16',
+                                         block1_s2d=True)
+    for tf, tu in zip(traces_f, traces_un):
+        np.testing.assert_allclose(tf['loss'], tu['loss'], rtol=2e-2)
+    np.testing.assert_allclose(img_f, img_un, rtol=0.1, atol=3.0)
 
 
 def test_batched_engine_bf16_block1_s2d():
