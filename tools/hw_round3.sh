@@ -1,0 +1,48 @@
+#!/bin/bash
+# Round-3 hardware measurement queue (run when the TPU tunnel is up).
+# Each phase appends a JSON line to tools/hw_round3_results.jsonl so a
+# mid-queue tunnel death keeps everything measured so far.
+#
+# Probe first (CLAUDE.md): backend init over a dead tunnel HANGS.
+set -u
+cd "$(dirname "$0")/.."
+OUT=tools/hw_round3_results.jsonl
+
+probe() {
+    timeout 180 python3 -c "import jax; print(jax.devices())" >/dev/null 2>&1
+}
+
+run() {  # run <label> <cmd...>
+    local label=$1; shift
+    echo "=== $label: $*" >&2
+    local line
+    line=$("$@" 2>/dev/null | tail -1)
+    if [ -n "$line" ]; then
+        echo "{\"phase\": \"$label\", \"result\": $line}" >> "$OUT"
+    else
+        echo "{\"phase\": \"$label\", \"result\": null}" >> "$OUT"
+    fi
+}
+
+if ! probe; then
+    echo "tunnel down — aborting" >&2
+    exit 3
+fi
+
+# 1. S2D_TRANSFORM A/B (512px bf16, on-device scan spans, fresh process
+#    per arm). If 'slice' wins, flip the default in models/vgg19.py.
+run s2d_transpose timeout 2400 python tools/measure_step.py \
+    --s2d-transform transpose
+run s2d_slice timeout 2400 python tools/measure_step.py \
+    --s2d-transform slice
+
+# 2. Full benchmark (headline f32 + bf16 + MFU + 1024px north-star).
+run bench timeout 9000 python bench.py
+
+# 3. High-res regime step times + traces for MFU analysis (VERDICT r3 #6).
+run hires_1024 timeout 3600 python tools/measure_step.py --size 1024 \
+    --remat --keep-trace /tmp/trace_1024
+run hires_2048 timeout 3600 python tools/measure_step.py --size 2048 \
+    --remat --chunk 20 --keep-trace /tmp/trace_2048
+
+echo "done; results in $OUT" >&2

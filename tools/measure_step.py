@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""On-device step-time measurement (the round-2 methodology, in-repo).
+
+Times the fused K-step scan from a jax.profiler trace — the duration of
+the jit_scan_fn span on the device track — NOT wall clock, which over the
+tunnel includes ~0.5 s dispatch latency and time-sharing noise
+(CLAUDE.md: measure via profiler on-device scan spans). Prints one JSON
+line so sweeps are scriptable.
+
+Each configuration should run in a FRESH process: the s2d/transform flags
+are read at trace time and the jit cache would otherwise serve a stale
+program for the same static key.
+
+Examples (the pending round-3 sweeps):
+  # S2D_TRANSFORM A/B at 512px bf16:
+  python tools/measure_step.py --s2d-transform transpose
+  python tools/measure_step.py --s2d-transform slice
+  # high-res regime traces (keep the trace dir for MFU analysis):
+  python tools/measure_step.py --size 1024 --remat --keep-trace /tmp/t1024
+  python tools/measure_step.py --size 2048 --remat --chunk 20 \\
+      --keep-trace /tmp/t2048
+  # sharded-s2d A/B (once multi-chip exists):
+  python tools/measure_step.py --mesh 4 --block1-s2d on|off
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+WEIGHTS = {'content': {'conv4_2': 0.08},
+           'style': {'conv1_1': 1.0, 'conv2_1': 1.0, 'conv3_1': 1.0,
+                     'conv4_1': 1.0},
+           'deepdream': {}}
+SCALARS = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+
+
+def device_scan_ms(trace_dir, k, span_prefix='jit_scan_fn'):
+    """Longest-span duration (ms/step) of the fused scan on the DEVICE
+    track of the newest trace in trace_dir. The device track is found by
+    process name (/device:TPU:* or the CPU PJRT device), not a hardcoded
+    pid."""
+    path = sorted(glob.glob(
+        str(Path(trace_dir) / 'plugins/profile/*/*.trace.json.gz')))[-1]
+    events = json.load(gzip.open(path))['traceEvents']
+    device_pids = {
+        e['pid'] for e in events
+        if e.get('ph') == 'M' and e.get('name') == 'process_name'
+        and '/device:' in str(e.get('args', {}).get('name', ''))}
+    spans = [e['dur'] for e in events
+             if e.get('ph') == 'X' and e.get('pid') in device_pids
+             and str(e.get('name', '')).startswith(span_prefix)]
+    if not spans:
+        return None
+    return max(spans) / 1000.0 / k
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--size', type=int, default=512)
+    p.add_argument('--chunk', type=int, default=60, help='fused steps/dispatch')
+    p.add_argument('--reps', type=int, default=3, help='best-of repetitions')
+    p.add_argument('--precision', default='bfloat16')
+    p.add_argument('--optimizer', default='lbfgs')
+    p.add_argument('--remat', action='store_true')
+    p.add_argument('--mesh', default='', help="spatial mesh (e.g. '4')")
+    p.add_argument('--block1-s2d', choices=('auto', 'on', 'off'),
+                   default='auto')
+    p.add_argument('--s2d-transform', choices=('transpose', 'slice'),
+                   default=None, help='override vgg19.S2D_TRANSFORM')
+    p.add_argument('--platform', default='')
+    p.add_argument('--keep-trace', default='',
+                   help='keep the profiler trace at this directory')
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    jax.config.update('jax_compilation_cache_dir', str(ROOT / '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from style_transfer2_tpu.models import vgg19
+    if args.s2d_transform:
+        vgg19.S2D_TRANSFORM = args.s2d_transform
+
+    import numpy as np
+    from PIL import Image
+    from style_transfer2_tpu.engine import StyleTransfer
+    from style_transfer2_tpu.models import random_params
+    from style_transfer2_tpu.utils import resize_to_fit
+
+    placement = None
+    if args.mesh:
+        from style_transfer2_tpu.parallel import SpatialPlacement, make_mesh
+        placement = SpatialPlacement(
+            make_mesh(args.mesh, axis_names=('space',)))
+
+    content = np.uint8(resize_to_fit(Image.open(
+        ROOT / 'examples/golden_gate.jpg').convert('RGB'), args.size))
+    style = np.uint8(resize_to_fit(Image.open(
+        ROOT / 'examples/starry_night.jpg').convert('RGB'), args.size))
+    if placement is not None:
+        hw = placement.snap_hw(content.shape[:2])
+        content = np.uint8(np.asarray(Image.fromarray(content).resize(
+            hw[::-1], Image.LANCZOS)))
+
+    b1 = {'auto': None, 'on': True, 'off': False}[args.block1_s2d]
+    st = StyleTransfer(random_params(0), precision=args.precision,
+                      placement=placement, remat=args.remat, block1_s2d=b1)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer(args.optimizer)
+    st.set_step_size(1.0 if args.optimizer == 'lbfgs' else 10.0)
+    st.set_content(content)
+    st.set_style(style)
+    st.set_input(np.random.RandomState(0).uniform(
+        0, 255, content.shape).astype(np.uint8))
+    assert st.start()
+
+    t0 = time.perf_counter()
+    st.run_steps(args.chunk, fetch_image=False)   # compile + warm
+    warm_s = time.perf_counter() - t0
+
+    tdir = args.keep_trace or '/tmp/measure_step_trace'
+    best_ms = None
+    wall = []
+    for _ in range(args.reps):
+        if not args.keep_trace:
+            shutil.rmtree(tdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        with jax.profiler.trace(tdir):
+            st.run_steps(args.chunk, fetch_image=False)
+        wall.append(time.perf_counter() - t0)
+        ms = device_scan_ms(tdir, args.chunk)
+        if ms is not None and (best_ms is None or ms < best_ms):
+            best_ms = ms
+
+    loss = float(st.traces[-1].data['loss'])
+    assert np.isfinite(loss)
+    print(json.dumps({
+        'size': args.size, 'precision': args.precision,
+        'chunk': args.chunk, 'remat': args.remat, 'mesh': args.mesh,
+        'block1_s2d': args.block1_s2d,
+        's2d_transform': args.s2d_transform or vgg19.S2D_TRANSFORM,
+        'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
+        'wall_best_its_per_s': round(args.chunk / min(wall), 2),
+        'warmup_s': round(warm_s, 1), 'loss': loss,
+    }), flush=True)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
