@@ -45,4 +45,12 @@ run hires_1024 timeout 3600 python tools/measure_step.py --size 1024 \
 run hires_2048 timeout 3600 python tools/measure_step.py --size 2048 \
     --remat --chunk 20 --keep-trace /tmp/trace_2048
 
+# 4. Pallas regime search (VERDICT r2 weak #7): does the fused style
+#    kernel win anywhere the 512px measurement didn't cover? If every arm
+#    loses, ARCHITECTURE.md retires the kernels explicitly.
+run pallas_1024 timeout 3600 python tools/measure_step.py --size 1024 \
+    --remat --pallas
+run pallas_2048 timeout 3600 python tools/measure_step.py --size 2048 \
+    --remat --chunk 20 --pallas
+
 echo "done; results in $OUT" >&2

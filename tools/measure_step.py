@@ -70,6 +70,9 @@ def main(argv=None):
     p.add_argument('--precision', default='bfloat16')
     p.add_argument('--optimizer', default='lbfgs')
     p.add_argument('--remat', action='store_true')
+    p.add_argument('--pallas', action='store_true',
+                   help='fused Pallas style kernel (TPU; regime search '
+                        'for VERDICT r2 weak #7)')
     p.add_argument('--mesh', default='', help="spatial mesh (e.g. '4')")
     p.add_argument('--block1-s2d', choices=('auto', 'on', 'off'),
                    default='auto')
@@ -113,7 +116,8 @@ def main(argv=None):
 
     b1 = {'auto': None, 'on': True, 'off': False}[args.block1_s2d]
     st = StyleTransfer(random_params(0), precision=args.precision,
-                      placement=placement, remat=args.remat, block1_s2d=b1)
+                      placement=placement, remat=args.remat, block1_s2d=b1,
+                      use_pallas=args.pallas)
     st.set_weights(WEIGHTS, SCALARS)
     st.set_optimizer(args.optimizer)
     st.set_step_size(1.0 if args.optimizer == 'lbfgs' else 10.0)
@@ -146,7 +150,7 @@ def main(argv=None):
     print(json.dumps({
         'size': args.size, 'precision': args.precision,
         'chunk': args.chunk, 'remat': args.remat, 'mesh': args.mesh,
-        'block1_s2d': args.block1_s2d,
+        'block1_s2d': args.block1_s2d, 'pallas': args.pallas,
         's2d_transform': args.s2d_transform or vgg19.S2D_TRANSFORM,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
