@@ -53,4 +53,11 @@ run pallas_1024 timeout 3600 python tools/measure_step.py --size 1024 \
 run pallas_2048 timeout 3600 python tools/measure_step.py --size 2048 \
     --remat --chunk 20 --pallas
 
+# 5. Serving rates on the round-2 step (re-measurement pending since the
+#    outage): interactive adaptive=60 depth-2, and pooled 4-lane.
+run serve_interactive timeout 3600 python tools/measure_serving.py \
+    --tier app --size 300 --adaptive 60 --pipeline-depth 2
+run serve_pool timeout 3600 python tools/measure_serving.py \
+    --tier pool --size 256 --lanes 4 --steps-per-dispatch 60
+
 echo "done; results in $OUT" >&2

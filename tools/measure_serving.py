@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Measure end-to-end serving throughput: start a real tier in-process,
+connect as a browser (WS + cookies), count iterateInfo frames per second.
+
+Covers the two pending round-3 serving measurements on the 5.09 ms bf16
+step (CLAUDE.md): the interactive single-session rate (adaptive + depth-2
+pipelined dispatch) and the pooled aggregate rate across N concurrent
+sessions. Prints one JSON line per run.
+
+Examples:
+  python tools/measure_serving.py --tier app --size 300 --adaptive 60
+  python tools/measure_serving.py --tier pool --size 256 --lanes 4 \\
+      --steps-per-dispatch 60
+"""
+
+import argparse
+import asyncio
+import configparser
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def base_config(args):
+    cp = configparser.ConfigParser()
+    cp['DEFAULT'] = {
+        'debug': '0',
+        'initial_content': 'examples/golden_gate.jpg',
+        'initial_style': 'examples/starry_night.jpg',
+        'initial_size': str(args.size),
+        'initial_weights': 'initial_weights.yaml',
+        'http_host': '127.0.0.1',
+        'http_port': '8000',
+        'weights': 'random',
+        'precision': args.precision,
+        'max_size': '4096',
+    }
+    return cp['DEFAULT']
+
+
+async def count_iterates(ws, seconds, warmup_frames=5):
+    """Counts iterations from iterateInfo frames after a warmup (compile +
+    ramp) and returns (its_per_s, first_i, last_i)."""
+    import aiohttp
+    first_i = last_i = None
+    n_warm = 0
+    t0 = None
+    deadline = None
+    while True:
+        msg = await asyncio.wait_for(ws.receive(), 1200)
+        if msg.type != aiohttp.WSMsgType.TEXT:
+            continue
+        data = json.loads(msg.data)
+        if data['type'] != 'iterateInfo':
+            continue
+        if n_warm < warmup_frames:
+            n_warm += 1
+            continue
+        now = time.perf_counter()
+        if first_i is None:
+            first_i, t0 = data['i'], now
+            deadline = now + seconds
+        last_i = data['i']
+        if now >= deadline:
+            return (last_i - first_i) / (now - t0), first_i, last_i
+
+
+async def run_app(args):
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+    from style_transfer2_tpu.serve.app import init
+
+    config = base_config(args)
+    config['adaptive_dispatch'] = str(args.adaptive)
+    config['pipeline_depth'] = str(args.pipeline_depth)
+    app = init(config=config)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    ws = await client.ws_connect('/websocket')
+    # Wait for the driver before starting.
+    while True:
+        data = json.loads((await asyncio.wait_for(ws.receive(), 1200)).data)
+        if data['type'] == 'workerReady':
+            break
+    await ws.send_str(json.dumps({'type': 'start'}))
+    rate, i0, i1 = await count_iterates(ws, args.seconds)
+    await ws.close()
+    await client.close()
+    return {'tier': 'app', 'size': args.size, 'precision': args.precision,
+            'adaptive': args.adaptive, 'pipeline_depth': args.pipeline_depth,
+            'its_per_s': round(rate, 1), 'iters': i1 - i0}
+
+
+async def run_pool(args):
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+    from style_transfer2_tpu.serve.pool import init
+
+    config = base_config(args)
+    config['pool_lanes'] = str(args.lanes)
+    config['pool_optimizer'] = 'adam'
+    config['pool_steps_per_dispatch'] = str(args.steps_per_dispatch)
+    app = init(config=config)
+    jar = aiohttp.DummyCookieJar()
+    client = TestClient(TestServer(app), cookie_jar=jar)
+    await client.start_server()
+
+    async def one_session():
+        resp = await client.get('/')
+        cookie = next(c.value for c in resp.cookies.values()
+                      if c.key == 'pool_session')
+        headers = {'Cookie': 'pool_session=%s' % cookie}
+        ws = await client.ws_connect('/websocket', headers=headers)
+        while True:
+            data = json.loads(
+                (await asyncio.wait_for(ws.receive(), 1200)).data)
+            if data['type'] == 'state':
+                break
+        await ws.send_str(json.dumps({'type': 'start'}))
+        rate, i0, i1 = await count_iterates(ws, args.seconds)
+        await ws.close()
+        return rate
+
+    rates = await asyncio.gather(*[one_session()
+                                   for _ in range(args.lanes)])
+    await client.close()
+    return {'tier': 'pool', 'size': args.size, 'precision': args.precision,
+            'lanes': args.lanes,
+            'steps_per_dispatch': args.steps_per_dispatch,
+            'per_session_its_per_s': [round(r, 1) for r in rates],
+            'aggregate_its_per_s': round(sum(rates), 1)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--tier', choices=('app', 'pool'), default='app')
+    p.add_argument('--size', type=int, default=300)
+    p.add_argument('--precision', default='bfloat16')
+    p.add_argument('--seconds', type=float, default=30.0,
+                   help='measurement window after warmup')
+    p.add_argument('--adaptive', type=int, default=60)
+    p.add_argument('--pipeline-depth', type=int, default=2)
+    p.add_argument('--lanes', type=int, default=4)
+    p.add_argument('--steps-per-dispatch', type=int, default=60)
+    p.add_argument('--platform', default='')
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+    import jax as _jax
+    _jax.config.update('jax_compilation_cache_dir', str(ROOT / '.jax_cache'))
+    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    runner = run_app if args.tier == 'app' else run_pool
+    result = asyncio.run(runner(args))
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
