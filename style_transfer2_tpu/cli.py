@@ -76,9 +76,13 @@ def parse_args(argv=None):
                    help='resume from a checkpoint directory')
     p.add_argument('--save-every', type=int, default=0,
                    help='write the in-progress image every N iterations')
-    p.add_argument('--remat', action='store_true',
-                   help='rematerialize convs in the backward pass (less '
-                        'memory, ~1.5x backward compute; for 2K+ sizes)')
+    p.add_argument('--remat', nargs='?', const='conv', default=False,
+                   choices=('conv', 'block'),
+                   help='rematerialize in the backward pass (less memory, '
+                        '~1.5x backward compute). "conv" (the bare-flag '
+                        'default) checkpoints each conv, for 2K+ sizes; '
+                        '"block" checkpoints whole conv blocks — only pool '
+                        'boundaries survive the forward, for 3K+/4K sizes')
     p.add_argument('--pallas', action='store_true',
                    help='use the fused Pallas style kernel (TPU)')
     p.add_argument('--profile', default=None,

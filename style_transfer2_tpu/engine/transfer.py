@@ -58,8 +58,11 @@ class StyleTransfer:
         jitted step then runs SPMD with XLA-inserted halo exchanges.
         use_pallas: route the style branch through the fused Pallas kernel
         (TPU only; incompatible with spatial placement). remat:
-        rematerialize convs in the backward pass — residual memory drops to
-        the feature taps, enabling 2K+ single-chip resolutions.
+        rematerialization policy — False, True/'conv' (checkpoint each
+        conv; ~2x less residual memory, for 2K+ single-chip sizes) or
+        'block' (checkpoint whole conv blocks; only pool boundaries + taps
+        survive the forward, several-fold less memory again for the same
+        recompute FLOPs — the 3K+/4K regime).
         block1_s2d: None (auto) enables the block-1 space-to-depth path
         except under spatial sharding; True/False force it (the hardware
         A/B knob for the sharded regime)."""

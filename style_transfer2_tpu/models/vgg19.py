@@ -311,9 +311,16 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
       precision: matmul precision for float32 (HIGHEST = parity mode).
       compute_dtype: jnp.float32 for parity, jnp.bfloat16 for speed (the
         trunk runs in bf16 with f32 feature taps).
-      remat: rematerialize each conv in the backward pass — residual memory
-        drops from every conv activation to the feature taps alone, enabling
-        2K+ single-chip resolutions at ~1.5x backward FLOPs.
+      remat: rematerialization policy for the backward pass.
+        False      — save every activation (the fastest fit-in-memory mode).
+        True/'conv' — checkpoint each conv+ReLU: the pre-activation values
+        are recomputed, but every inter-conv activation is still saved as a
+        checkpoint input, so residual memory only halves. Enables 2K+
+        single-chip resolutions at ~1.5x backward FLOPs.
+        'block'    — checkpoint whole conv blocks (conv_N_* .. pool_N): only
+        the block boundaries (shrinking 4x per block) and the requested
+        feature taps survive the forward pass, a several-fold further
+        reduction at high res for the same recompute FLOPs as 'conv'.
       block1_s2d: caller-level gate on the block-1 space-to-depth path.
         The engine passes False under spatial sharding: the 6-D
         reshape/transpose across a sharded H axis can force cross-shard
@@ -342,7 +349,9 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
         return jnp.maximum(
             _conv(h, _s2d_kernel(w), jnp.tile(b, 4), precision), 0.0)
 
-    if remat:
+    per_conv_remat = remat is True or remat == 'conv'
+    block_remat = remat == 'block'
+    if per_conv_remat:
         conv_block = jax.checkpoint(conv_block)
         conv1_block = jax.checkpoint(conv1_block)
         s2d_conv_block = jax.checkpoint(s2d_conv_block)
@@ -363,45 +372,84 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
     h = x.astype(compute_dtype)
     start = 1
     if use_b1 and deepest >= 1:
-        # Block 1 in the s2d domain. conv1_1/conv1_2 taps come out in s2d
-        # layout (n, H/2, W/2, 256) — semantically a permutation of the
-        # (n, H, W, 64) pixels, which every loss reduction is invariant to
-        # (consumers use layer_channels for the true channel count). pool1
-        # is the elementwise max over the 4 sub-pixel blocks: exactly the
-        # 2x2 window max, already at pool1's natural (n, H/2, W/2, 64).
-        # The barrier pins the bf16 cast BEFORE the 6-D transform: XLA
-        # otherwise commutes them and runs the lane-hostile shuffle at f32
-        # width (trace-measured 0.2 ms/step extra).
-        h = jax.lax.optimization_barrier(h)
-        h = _space_to_depth(h)
-        for name in ('conv1_1', 'conv1_2'):
-            if blob_index(name) > deepest:
-                break
-            p = params[name]
-            h = s2d_conv_block(h, p['w'].astype(compute_dtype),
-                               p['b'].astype(compute_dtype))
-            if name in wanted:
-                feats[name] = h.astype(jnp.float32)
-        if deepest >= blob_index('pool1'):
-            nb, h2, w2, c4 = h.shape
-            h = h.reshape(nb, h2, w2, 4, c4 // 4).max(axis=3)
-            if 'pool1' in wanted:
-                feats['pool1'] = h.astype(jnp.float32)
+        b1_names = tuple(n for n in ('conv1_1', 'conv1_2', 'pool1')
+                         if blob_index(n) <= deepest)
+        b1_tapped = tuple(n for n in b1_names if n in wanted)
+
+        def block1_segment(h):
+            # Block 1 in the s2d domain. conv1_1/conv1_2 taps come out in
+            # s2d layout (n, H/2, W/2, 256) — semantically a permutation of
+            # the (n, H, W, 64) pixels, which every loss reduction is
+            # invariant to (consumers use layer_channels for the true
+            # channel count). pool1 is the elementwise max over the 4
+            # sub-pixel blocks: exactly the 2x2 window max, already at
+            # pool1's natural (n, H/2, W/2, 64).
+            # The barrier pins the bf16 cast BEFORE the 6-D transform: XLA
+            # otherwise commutes them and runs the lane-hostile shuffle at
+            # f32 width (trace-measured 0.2 ms/step extra).
+            taps = {}
+            h = jax.lax.optimization_barrier(h)
+            h = _space_to_depth(h)
+            for name in b1_names:
+                if name == 'pool1':
+                    nb, h2, w2, c4 = h.shape
+                    h = h.reshape(nb, h2, w2, 4, c4 // 4).max(axis=3)
+                else:
+                    p = params[name]
+                    h = s2d_conv_block(h, p['w'].astype(compute_dtype),
+                                       p['b'].astype(compute_dtype))
+                if name in b1_tapped:
+                    taps[name] = h.astype(jnp.float32)
+            return h, tuple(taps[n] for n in b1_tapped)
+
+        if block_remat:
+            block1_segment = jax.checkpoint(block1_segment)
+        h, b1_taps = block1_segment(h)
+        feats.update(zip(b1_tapped, b1_taps))
         start = blob_index('pool1') + 1
-    for idx, name in enumerate(BLOB_NAMES[start:], start=start):
-        if idx > deepest:
-            break
-        if name.startswith('conv'):
-            p = params[name]
-            block = conv1_block if (name == 'conv1_1' and use_s2d) \
-                else conv_block
-            # in-place ReLU: the tap is post-ReLU
-            h = block(h, p['w'].astype(compute_dtype),
-                      p['b'].astype(compute_dtype))
-        else:  # pool
-            h = _max_pool_ceil(h)
-        if name in wanted:
-            feats[name] = h.astype(jnp.float32)
+
+    def make_segment(names_seg):
+        tapped = tuple(n for n in names_seg if n in wanted)
+
+        def segment(h):
+            taps = {}
+            for name in names_seg:
+                if name.startswith('conv'):
+                    p = params[name]
+                    block = conv1_block if (name == 'conv1_1' and use_s2d) \
+                        else conv_block
+                    # in-place ReLU: the tap is post-ReLU
+                    h = block(h, p['w'].astype(compute_dtype),
+                              p['b'].astype(compute_dtype))
+                else:  # pool
+                    h = _max_pool_ceil(h)
+                if name in tapped:
+                    taps[name] = h.astype(jnp.float32)
+            return h, tuple(taps[n] for n in tapped)
+
+        return tapped, segment
+
+    remaining = tuple(n for n in BLOB_NAMES[start:deepest + 1])
+    if block_remat:
+        # One checkpointed segment per conv block (ending at its pool):
+        # only the pool-boundary activations — shrinking 4x per block —
+        # and the requested taps survive the forward pass.
+        segments, cur = [], []
+        for name in remaining:
+            cur.append(name)
+            if name.startswith('pool'):
+                segments.append(tuple(cur))
+                cur = []
+        if cur:
+            segments.append(tuple(cur))
+    else:
+        segments = [remaining] if remaining else []
+    for names_seg in segments:
+        tapped, segment = make_segment(names_seg)
+        if block_remat:
+            segment = jax.checkpoint(segment)
+        h, seg_taps = segment(h)
+        feats.update(zip(tapped, seg_taps))
     return {name: feats[name] for name in layers}
 
 

@@ -111,11 +111,15 @@ class SingleSessionTier(sn.EngineActions):
         # K-iteration control latency unless they opt into pipelining —
         # depth 2 would silently double the in-flight work to 2K.
         pipeline_default = 2 if adaptive > 1 else 1
+        remat = self.config.get('remat', '')
+        if remat not in ('', 'conv', 'block'):
+            raise ValueError(f'config remat must be conv or block: {remat!r}')
         self.driver = Driver(
             self.model_params,
             placement=self.placement,
             precision=self.config.get('precision', 'float32'),
             use_pallas=self.config.getboolean('pallas', False),
+            remat=remat or False,
             steps_per_dispatch=self.config.getint('steps_per_dispatch', 1),
             image_every=self.config.getint('image_every', 1),
             adaptive_max_steps=adaptive,

@@ -55,7 +55,7 @@ class Driver:
     def __init__(self, params, precision='float32', placement=None,
                  loop=None, use_pallas=False, steps_per_dispatch=1,
                  image_every=1, adaptive_max_steps=0, pipeline_depth=1,
-                 dispatch_timeout=0.0):
+                 dispatch_timeout=0.0, remat=False):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
         iterations (the reference guarantee is 1, the default).
@@ -84,7 +84,9 @@ class Driver:
         the driver task, so a wedged backend/tunnel becomes a supervised
         driver restart (with backoff) instead of a silent hang. Size it
         WELL above the worst first-compile time for the resolution (remote
-        compiles take minutes); 0 disables."""
+        compiles take minutes); 0 disables.
+        remat (False / 'conv' / 'block') is the engine's rematerialization
+        policy for high-resolution sessions — see StyleTransfer."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
@@ -95,7 +97,7 @@ class Driver:
         self._recent_control = False
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
-                                      use_pallas=use_pallas)
+                                      use_pallas=use_pallas, remat=remat)
         self.loop = loop or asyncio.get_event_loop()
         # One thread owns all device calls; queue depth 1 keeps ordering.
         self.executor = concurrent.futures.ThreadPoolExecutor(

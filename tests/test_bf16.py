@@ -49,3 +49,34 @@ def test_bf16_tracks_f32():
         # images stay visually close at these few steps
         rms = np.sqrt(np.mean((img16 - img32) ** 2))
         assert rms < 8.0, rms
+
+
+def _run_remat(remat, n_steps=3):
+    rng = np.random.RandomState(3)
+    st = StyleTransfer(random_params(4), precision='bfloat16', remat=remat)
+    st.set_weights(WEIGHTS, SCALARS)
+    st.set_optimizer('lbfgs')
+    st.set_step_size(1.0)
+    st.set_content(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+    st.set_style(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+    st.set_input(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+    assert st.start()
+    img = None
+    losses = []
+    for _ in range(n_steps):
+        img, trace = st.step()
+        losses.append(trace['loss'])
+    return img, losses
+
+
+def test_remat_policies_track_plain():
+    """Both remat policies ('conv' per-conv, 'block' per-block checkpoints)
+    run the bf16 engine end-to-end and track the non-remat trajectory — the
+    recomputed backward is the same math, so agreement is tight."""
+    img_p, loss_p = _run_remat(False)
+    for policy in ('conv', 'block'):
+        img_r, loss_r = _run_remat(policy)
+        np.testing.assert_allclose(loss_r, loss_p, rtol=1e-3,
+                                   err_msg=str(policy))
+        rms = np.sqrt(np.mean((img_r - img_p) ** 2))
+        assert rms < 1.0, (policy, rms)

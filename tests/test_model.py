@@ -4,6 +4,7 @@ vjp parity against the independent torch oracle (SURVEY.md §4.1-4.2)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -112,14 +113,16 @@ def test_forward_stops_at_deepest_layer(rng):
     assert feats['conv1_1'].shape == (1, 8, 8, 64)
 
 
-def test_remat_matches_plain(rng):
-    """remat=True must be numerically identical (same taps, same vjp)."""
+@pytest.mark.parametrize('policy', [True, 'block'])
+def test_remat_matches_plain(rng, policy):
+    """Both remat policies (per-conv and per-block) must be numerically
+    identical to the plain forward (same taps, same vjp)."""
     params = random_params(2)
     img = rng.randint(0, 256, (20, 20, 3)).astype(np.uint8)
     x = preprocess(img)
     layers = ('conv1_1', 'conv2_1', 'conv3_1')
     plain = VGG19Features(params)
-    rem = VGG19Features(params, remat=True)
+    rem = VGG19Features(params, remat=policy)
     f_a, vjp_a = plain.features_and_vjp(x, layers)
     f_b, vjp_b = rem.features_and_vjp(x, layers)
     diffs = {l: jnp.asarray(rng.randn(*f_a[l].shape).astype(np.float32))
@@ -283,7 +286,8 @@ def test_s2d_transform_forms_agree(rng, monkeypatch):
     np.testing.assert_array_equal(back, np.asarray(x))
 
 
-def test_remat_matches_plain_bf16_s2d(rng):
+@pytest.mark.parametrize('policy', [True, 'block'])
+def test_remat_matches_plain_bf16_s2d(rng, policy):
     """remat in bf16 at an even size (the high-res production combo, which
     takes the block-1 s2d path) is numerically identical to non-remat."""
     params = random_params(2)
@@ -292,7 +296,7 @@ def test_remat_matches_plain_bf16_s2d(rng):
     kw = dict(precision=jax.lax.Precision.DEFAULT,
               compute_dtype=jnp.bfloat16)
     plain = VGG19Features(params, **kw)
-    rem = VGG19Features(params, remat=True, **kw)
+    rem = VGG19Features(params, remat=policy, **kw)
     f_a, vjp_a = plain.features_and_vjp(x, layers)
     f_b, vjp_b = rem.features_and_vjp(x, layers)
     assert f_a['conv1_1'].shape == (1, 16, 16, 256)  # s2d layout active

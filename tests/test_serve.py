@@ -125,6 +125,32 @@ def test_driver_pause_and_weight_change():
     run(body())
 
 
+def test_config_remat_reaches_engine():
+    """The serving tier's `remat` config key must reach the engine (high-res
+    sessions need the checkpointing policy), and bad values must be rejected
+    at driver spawn rather than at first compile."""
+    from style_transfer2_tpu.serve.app import SingleSessionTier
+
+    async def body():
+        cp = configparser.ConfigParser()
+        cp['DEFAULT'] = {'remat': 'block', 'http_host': '127.0.0.1',
+                         'http_port': '8000'}
+        tier = SingleSessionTier(cp['DEFAULT'])
+        tier.model_params = random_params(0)
+        tier._spawn_driver()
+        try:
+            assert tier.driver.transfer.remat == 'block'
+        finally:
+            await tier.driver.in_queue.put(m.Shutdown())
+            await tier.driver_task
+            tier.pump_task.cancel()
+
+        cp['DEFAULT']['remat'] = 'everything'
+        with pytest.raises(ValueError):
+            tier._spawn_driver()
+    run(body())
+
+
 # -- Full web-app E2E ----------------------------------------------------------
 
 def _test_config(tmp_path):

@@ -45,6 +45,18 @@ run hires_1024 timeout 3600 python tools/measure_step.py --size 1024 \
 run hires_2048 timeout 3600 python tools/measure_step.py --size 2048 \
     --remat --chunk 20 --keep-trace /tmp/trace_2048
 
+# 3b. Remat-policy A/B (per-conv vs per-block) + single-chip max-res push:
+#     block remat keeps only pool boundaries + taps, so 3072/3840 may fit
+#     where round 2's per-conv remat OOMed at 3840.
+run remat_block_2048 timeout 3600 python tools/measure_step.py --size 2048 \
+    --remat block --chunk 20
+run remat_block_3072 timeout 3600 python tools/measure_step.py --size 3072 \
+    --remat block --chunk 10
+run remat_conv_3072 timeout 3600 python tools/measure_step.py --size 3072 \
+    --remat conv --chunk 10
+run remat_block_3840 timeout 3600 python tools/measure_step.py --size 3840 \
+    --remat block --chunk 10
+
 # 4. Pallas regime search (VERDICT r2 weak #7): does the fused style
 #    kernel win anywhere the 512px measurement didn't cover? If every arm
 #    loses, ARCHITECTURE.md retires the kernels explicitly.

@@ -62,6 +62,36 @@ def device_scan_ms(trace_dir, k, span_prefix='jit_scan_fn'):
     return max(spans) / 1000.0 / k
 
 
+def device_op_summary(trace_dir, top_k=15):
+    """Aggregate device-track op durations by name from the newest trace:
+    [(name, total_ms, share), ...] for the top_k ops. The decision-grade
+    view for 'what dominates the step at this size' (the round-2 method
+    that found block 1 = 43% of the 512px step, run automatically)."""
+    path = sorted(glob.glob(
+        str(Path(trace_dir) / 'plugins/profile/*/*.trace.json.gz')))[-1]
+    events = json.load(gzip.open(path))['traceEvents']
+    device_pids = {
+        e['pid'] for e in events
+        if e.get('ph') == 'M' and e.get('name') == 'process_name'
+        and '/device:' in str(e.get('args', {}).get('name', ''))}
+    # Leaf op events only: skip the scan-level wrapper spans so shares sum
+    # over actual kernels, not nested totals.
+    totals = {}
+    for e in events:
+        if e.get('ph') != 'X' or e.get('pid') not in device_pids:
+            continue
+        name = str(e.get('name', ''))
+        if name.startswith('jit_'):
+            continue
+        totals[name] = totals.get(name, 0) + e['dur']
+    grand = sum(totals.values())
+    if not grand:
+        return []
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]
+    return [{'op': name, 'ms': round(dur / 1000.0, 2),
+             'share': round(dur / grand, 3)} for name, dur in top]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--size', type=int, default=512)
@@ -69,7 +99,8 @@ def main(argv=None):
     p.add_argument('--reps', type=int, default=3, help='best-of repetitions')
     p.add_argument('--precision', default='bfloat16')
     p.add_argument('--optimizer', default='lbfgs')
-    p.add_argument('--remat', action='store_true')
+    p.add_argument('--remat', nargs='?', const='conv', default=False,
+                   choices=('conv', 'block'))
     p.add_argument('--pallas', action='store_true',
                    help='fused Pallas style kernel (TPU; regime search '
                         'for VERDICT r2 weak #7)')
@@ -147,7 +178,22 @@ def main(argv=None):
 
     loss = float(st.traces[-1].data['loss'])
     assert np.isfinite(loss)
+    # HBM peak (per-device; populated on TPU, absent on the CPU backend) —
+    # the deciding number for the remat-policy A/B.
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_mb = round(stats.get('peak_bytes_in_use', 0) / 2**20)
+    except Exception:
+        peak_mb = None
+    ops = None
+    if args.keep_trace:
+        try:
+            ops = device_op_summary(tdir)
+        except Exception:
+            ops = None
     print(json.dumps({
+        'hbm_peak_mb': peak_mb or None,
+        'top_ops': ops,
         'size': args.size, 'precision': args.precision,
         'chunk': args.chunk, 'remat': args.remat, 'mesh': args.mesh,
         'block1_s2d': args.block1_s2d, 'pallas': args.pallas,
