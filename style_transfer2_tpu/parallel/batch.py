@@ -30,14 +30,16 @@ from ..optim import adam as _adam
 
 @functools.lru_cache(maxsize=64)
 def build_batched_step_fns(spec, optimizer, precision='float32',
-                           b1=_adam.B1_DEFAULT, b2=_adam.B2_DEFAULT):
+                           b1=_adam.B1_DEFAULT, b2=_adam.B2_DEFAULT,
+                           remat=False):
     """Returns (batched_step, batched_eval): the fused step vmapped over a
     leading lane axis on (state, inputs, step_size); params are broadcast.
 
       batched_step(params, states, inputs, step_sizes)
         -> (states', norms', traces)   # every output has a leading lane axis
     """
-    step_core, eval_core = build_step_core(spec, optimizer, precision, b1, b2)
+    step_core, eval_core = build_step_core(spec, optimizer, precision, b1, b2,
+                                           remat=remat)
     batched_step = jax.jit(jax.vmap(step_core, in_axes=(None, 0, 0, 0)),
                            donate_argnums=(1,))
     batched_eval = None

@@ -217,10 +217,12 @@ def test_spatial_sharding_with_scan():
     np.testing.assert_allclose(img_s, img_u, rtol=1e-3, atol=0.1)
 
 
-def _run_transfer_prec(placement, precision, n_steps=3, block1_s2d=None):
+def _run_transfer_prec(placement, precision, n_steps=3, block1_s2d=None,
+                       remat=False):
     rng = np.random.RandomState(3)
     st = StyleTransfer(random_params(2), precision=precision,
-                       placement=placement, block1_s2d=block1_s2d)
+                       placement=placement, block1_s2d=block1_s2d,
+                       remat=remat)
     st.set_weights(WEIGHTS, SCALARS)
     st.set_optimizer('lbfgs')
     st.set_step_size(1.0)
@@ -262,6 +264,24 @@ def test_spatial_sharding_bf16_block1_s2d():
     for tf, tu in zip(traces_f, traces_un):
         np.testing.assert_allclose(tf['loss'], tu['loss'], rtol=2e-2)
     np.testing.assert_allclose(img_f, img_un, rtol=0.1, atol=3.0)
+
+
+@pytest.mark.parametrize('policy', ['conv', 'block'])
+def test_spatial_sharding_remat_policies(policy):
+    """The 3K/4K production combo — bf16 + rematerialization + spatial
+    sharding — must track the unsharded non-remat run for both policies:
+    checkpoint boundaries segment the forward, but the recomputed backward
+    is the same math even when each segment's H axis is sharded (the
+    checkpointed segments recompute shard-locally; GSPMD re-inserts the
+    same halo exchanges in the recompute)."""
+    mesh = make_mesh('2x4')
+    img_r, traces_r = _run_transfer_prec(SpatialPlacement(mesh), 'bfloat16',
+                                         remat=policy)
+    img_un, traces_un = _run_transfer_prec(None, 'bfloat16')
+    for tr, tu in zip(traces_r, traces_un):
+        assert np.isfinite(tr['loss'])
+        np.testing.assert_allclose(tr['loss'], tu['loss'], rtol=2e-2)
+    np.testing.assert_allclose(img_r, img_un, rtol=0.1, atol=3.0)
 
 
 def test_batched_engine_bf16_block1_s2d():
