@@ -97,6 +97,7 @@ class StyleTransfer:
         # image) but ~10x less HBM at high resolution.
         self.features = None        # dict blob -> device array (lazy subset)
         self.grams = None           # dict blob -> (c, c) device array
+        self.style_hw = None        # grid of the last set_style image
 
         # Until SetWeights arrives the reference weights every (layer, loss)
         # at 1 (worker.py:130-133).
@@ -264,6 +265,7 @@ class StyleTransfer:
 
     def set_style(self, image):
         image = self._place_image(vgg19.preprocess(image))
+        self.style_hw = tuple(image.shape[1:3])
         features = self.model.forward(image)
         self.grams = self._place_replicated(
             {layer: gram_matrix(feat, channels=vgg19.layer_channels(layer))
@@ -462,6 +464,54 @@ class StyleTransfer:
         """Fetches the current iterate as a deprocessed HxWx3 float32 RGB
         array (one host transfer)."""
         return np.asarray(vgg19.deprocess(self._input))
+
+    def prewarm(self, hw, ks=(1,), style_hw=None):
+        """Compiles every program a live session needs at input grid hw
+        WITHOUT touching this session's state. The step/eval/scan builders
+        are module-level caches keyed on (objective structure, optimizer,
+        precision, flags) and XLA executables key on input shapes, so a
+        throwaway engine with the same structure compiles exactly the
+        programs the live engine will dispatch after a resize to hw — a
+        TPU-native answer to "resolution change = minutes of remote
+        compile" (no reference counterpart; Caffe had no compile step).
+
+        ks are the fused chunk lengths to warm (1 = the interactive step;
+        the serving driver passes its adaptive sub-chunk length too).
+        style_hw defaults to the live style grid so the style pipeline
+        reuses already-compiled programs instead of adding new ones. Runs
+        one real step per program on dummy data (compile dominates; the
+        persistent compilation cache then covers future processes).
+        Thread-safe alongside a live engine stepping in another thread —
+        serving prewarm runs on its own executor. Returns wall seconds."""
+        t0 = time.perf_counter()
+        clone = StyleTransfer(self.params, precision=self.precision,
+                              n_corr=self.n_corr, placement=self.placement,
+                              use_pallas=self.use_pallas, remat=self.remat,
+                              block1_s2d=self.block1_s2d)
+        clone.weights = {name: dict(v) for name, v in self.weights.items()}
+        clone.scalar_params = dict(self.scalar_params)
+        clone.optimizer_name = self.optimizer_name
+        clone.step_size = self.step_size
+        hw = tuple(int(v) for v in hw)
+        if style_hw is None:
+            style_hw = self.style_hw or hw
+        rng = np.random.RandomState(0)
+        clone.set_content(rng.randint(0, 256, hw + (3,)).astype(np.uint8))
+        clone.set_style(
+            rng.randint(0, 256, tuple(style_hw) + (3,)).astype(np.uint8))
+        if clone.spec().temporal:
+            clone.set_temporal(
+                rng.randint(0, 256, hw + (3,)).astype(np.uint8),
+                self.scalar_params['temporal'])
+        clone.set_input(rng.randint(0, 256, hw + (3,)).astype(np.uint8))
+        if not clone.start():
+            raise RuntimeError('prewarm engine failed to start')
+        for k in ks:
+            if int(k) <= 1:
+                clone.step()
+            else:
+                clone.collect_steps(clone.begin_steps(int(k)), True)
+        return time.perf_counter() - t0
 
     def write_trace(self, filename):
         """Dumps the accumulated trace history to CSV (worker.py:312-315)."""

@@ -92,6 +92,25 @@ class SingleSessionTier(sn.EngineActions):
             return tuple(hw)
         return self.placement.snap_hw(hw)
 
+    def _prewarm_grids(self):
+        """Grids for the driver's background compile prewarm: each
+        configured prewarm size, run through the SAME snap + fit pipeline
+        a live change_size request takes, at the current content image's
+        aspect ratio. Computed per driver spawn so a content upload that
+        changes the aspect re-aims the next respawn's prewarm."""
+        sizes = self.config.get('prewarm_sizes', '')
+        if not sizes or self.sess.content_image is None:
+            return []
+        img = self.sess.content_image
+        grids = []
+        for tok in sizes.split(','):
+            size = self._snap(int(tok.strip()))
+            hw = self._snap_grid(
+                utils.fit_into_square((img.height, img.width), size, True))
+            if hw not in grids:
+                grids.append(hw)
+        return grids
+
     # -- driver lifecycle -----------------------------------------------------
 
     def _spawn_driver(self):
@@ -116,6 +135,7 @@ class SingleSessionTier(sn.EngineActions):
             raise ValueError(f'config remat must be conv or block: {remat!r}')
         self.driver = Driver(
             self.model_params,
+            prewarm_grids=self._prewarm_grids(),
             placement=self.placement,
             precision=self.config.get('precision', 'float32'),
             use_pallas=self.config.getboolean('pallas', False),

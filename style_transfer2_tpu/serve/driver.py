@@ -55,7 +55,7 @@ class Driver:
     def __init__(self, params, precision='float32', placement=None,
                  loop=None, use_pallas=False, steps_per_dispatch=1,
                  image_every=1, adaptive_max_steps=0, pipeline_depth=1,
-                 dispatch_timeout=0.0, remat=False):
+                 dispatch_timeout=0.0, remat=False, prewarm_grids=()):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
         iterations (the reference guarantee is 1, the default).
@@ -86,7 +86,12 @@ class Driver:
         WELL above the worst first-compile time for the resolution (remote
         compiles take minutes); 0 disables.
         remat (False / 'conv' / 'block') is the engine's rematerialization
-        policy for high-resolution sessions — see StyleTransfer."""
+        policy for high-resolution sessions — see StyleTransfer.
+        prewarm_grids: (H, W) grids to compile in the background once the
+        session is live (StyleTransfer.prewarm on a dedicated executor):
+        a later resize to a prewarmed grid skips its minutes-long remote
+        compile. The chunk lengths warmed are the ones this driver's
+        dispatch policy actually uses (1 plus the adaptive sub-chunk)."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
@@ -94,6 +99,9 @@ class Driver:
         self.adaptive_max_steps = max(0, int(adaptive_max_steps))
         self.pipeline_depth = max(1, int(pipeline_depth))
         self.dispatch_timeout = float(dispatch_timeout)
+        self.prewarm_grids = [tuple(int(v) for v in hw)
+                              for hw in prewarm_grids]
+        self._prewarm_task = None
         self._recent_control = False
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
@@ -116,6 +124,48 @@ class Driver:
     async def start(self):
         await self.out_queue.put(m.WorkerReady(layers=self.transfer.layers()))
 
+    def _prewarm_ks(self):
+        """The fused chunk lengths this driver's dispatch policy uses."""
+        if self.adaptive_max_steps > 1:
+            return (1, max(1, self.adaptive_max_steps // self.pipeline_depth))
+        if self.steps_per_dispatch > 1:
+            return (1, self.steps_per_dispatch)
+        return (1,)
+
+    async def _prewarm_loop(self):
+        """Background ladder prewarm: compiles the configured grids one at
+        a time on a dedicated executor while the session runs. Compilation
+        is host/compiler-side, so live step dispatches keep flowing from
+        the driver thread; each grid costs one dummy step of device time.
+        No watchdog — a prewarm compile taking minutes is the expected
+        case, and a wedged backend already trips the live dispatch
+        watchdog. Waits for the app to feed the engine first (the
+        objective structure defines the programs to warm)."""
+        executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix='prewarm')
+        try:
+            while not self.transfer.check_consistency():
+                if self.should_stop:
+                    return
+                await asyncio.sleep(0.5)
+            ks = self._prewarm_ks()
+            for hw in self.prewarm_grids:
+                if self.should_stop:
+                    return
+                if hw == self.transfer.input_hw:
+                    continue  # the live grid is already compiled
+                try:
+                    dt = await self.loop.run_in_executor(
+                        executor, self.transfer.prewarm, hw, ks)
+                    logger.info('prewarmed %s (chunks %s) in %.1fs',
+                                hw, ks, dt)
+                except Exception:
+                    logger.warning('prewarm of %s failed', hw, exc_info=True)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            executor.shutdown(wait=False)
+
     async def _collect(self, handle):
         """Materializes one in-flight dispatch and emits its Iterates (one
         per fused iteration, sharing the chunk-final snapshot)."""
@@ -132,6 +182,8 @@ class Driver:
         engine-state ordering), and any control traffic forces the next
         dispatch down to a single step."""
         await self.start()
+        if self.prewarm_grids:
+            self._prewarm_task = asyncio.ensure_future(self._prewarm_loop())
         in_flight = []   # begin_steps handles, dispatch order
 
         async def flush():
@@ -198,6 +250,8 @@ class Driver:
         except asyncio.CancelledError:
             pass
         finally:
+            if self._prewarm_task is not None:
+                self._prewarm_task.cancel()
             await self.out_queue.put(m.Shutdown())
             self.executor.shutdown(wait=False)
 

@@ -55,6 +55,35 @@ def test_scan_matches_single_steps(rng):
         np.testing.assert_allclose(imgs_a[-1], img_b, rtol=1e-5, atol=1e-4)
 
 
+def test_prewarm_leaves_live_state_untouched(rng):
+    """prewarm compiles another grid's programs on a throwaway engine: the
+    live trajectory must be bit-identical to a run without prewarm, and a
+    subsequent resize onto the prewarmed grid must step cleanly."""
+    seed = np.random.RandomState(7)
+    a = _make(seed, 'lbfgs')
+    seed = np.random.RandomState(7)
+    b = _make(seed, 'lbfgs')
+
+    a.step()
+    dt = a.prewarm((16, 16), ks=(1, 3))
+    assert dt > 0
+    a.step()
+    for _ in range(2):
+        b.step()
+
+    assert a.t == 2 and a.input_hw == (24, 24)
+    for ta, tb in zip(a.traces, b.traces):
+        for key in ta.data:
+            if key == 'time':
+                continue
+            np.testing.assert_array_equal(ta.data[key], tb.data[key], key)
+
+    a.resample_input((16, 16))
+    a.resample_content((16, 16))
+    _, tr = a.step()
+    assert np.isfinite(tr['loss'])
+
+
 def test_scan_then_step_continues(rng):
     st = _make(rng, 'adam')
     st.run_steps(2, fetch_image=False)

@@ -125,6 +125,63 @@ def test_driver_pause_and_weight_change():
     run(body())
 
 
+def test_driver_prewarm_runs_alongside_iteration():
+    """A driver with prewarm_grids compiles them in the background while
+    the live session iterates: the prewarm task finishes, the live grid is
+    skipped, and Iterates keep flowing throughout."""
+    async def body():
+        driver = Driver(random_params(0), prewarm_grids=[(24, 24), (16, 16)])
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+
+        rng = np.random.RandomState(2)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+        await _drain_until(driver, m.Iterate)
+
+        assert driver._prewarm_task is not None
+        await asyncio.wait_for(driver._prewarm_task, 240)
+        # Iteration still live after the prewarm completes.
+        it = await _drain_until(driver, m.Iterate)
+        assert np.isfinite(it.trace['loss'])
+        # The prewarmed grid's programs are now cached: a resize to it
+        # steps without error.
+        # The session free-ran during the prewarm: clear the backlog of
+        # stale 24px Iterates before asserting on the resized stream.
+        while not driver.out_queue.empty():
+            driver.out_queue.get_nowait()
+        await driver.in_queue.put(m.SetImages(
+            (16, 16), m.SetImages.RESAMPLE, m.SetImages.RESAMPLE, None, False))
+        for _ in range(50):  # a few pre-resize Iterates may still arrive
+            it = await _drain_until(driver, m.Iterate)
+            if it.image is not None and it.image.shape == (16, 16, 3):
+                break
+        else:
+            raise AssertionError('no resized Iterate received')
+
+        await driver.in_queue.put(m.Shutdown())
+        await task
+    run(body())
+
+
+def test_prewarm_grids_from_config():
+    """_prewarm_grids snaps each configured size through the live resize
+    pipeline at the content image's aspect ratio, deduplicated."""
+    from style_transfer2_tpu.serve.app import SingleSessionTier
+    cp = configparser.ConfigParser()
+    cp['DEFAULT'] = {'prewarm_sizes': '48, 64, 48', 'http_host': '127.0.0.1',
+                     'http_port': '8000'}
+    tier = SingleSessionTier(cp['DEFAULT'])
+    assert tier._prewarm_grids() == []  # no content image yet
+    tier.sess.content_image = Image.fromarray(
+        np.zeros((50, 100, 3), np.uint8))
+    assert tier._prewarm_grids() == [(24, 48), (32, 64)]
+
+
 def test_config_remat_reaches_engine():
     """The serving tier's `remat` config key must reach the engine (high-res
     sessions need the checkpointing policy), and bad values must be rejected
