@@ -57,6 +57,10 @@ def parse_args(argv=None):
                         'with warm-started optimizer state')
     p.add_argument('--min-scale', type=int, default=96,
                    help='smallest rung of the multi-scale ladder')
+    p.add_argument('--prewarm-ladder', action='store_true',
+                   help='compile the next ladder rung in the background '
+                        'while the current rung optimizes (cuts wall-clock '
+                        'where compiles are slow, e.g. a tunneled backend)')
     p.add_argument('--init', choices=('random', 'content'), default='random',
                    help='initial iterate')
     p.add_argument('--seed', type=int, default=0)
@@ -174,10 +178,39 @@ def main(argv=None):
         jax.profiler.start_trace(args.profile)
         profile_ctx = args.profile
 
+    def dispatch_chunks():
+        """The distinct fused chunk lengths one rung's loop dispatches
+        (fetch_image is host-side; the length alone keys the program)."""
+        ks, remaining = set(), args.iterations
+        while remaining > 0:
+            chunk = min(args.steps_per_dispatch, remaining)
+            if args.save_every:
+                chunk = min(chunk, args.save_every)
+            ks.add(chunk)
+            remaining -= chunk
+        return sorted(ks)
+
+    def start_prewarm(next_hw):
+        """Compiles rung next_hw's programs on a throwaway engine in a
+        background thread while the current rung optimizes (the engine
+        builders/executables are shared caches, so the live engine's first
+        dispatch at next_hw then reuses them)."""
+        import threading
+
+        def work():
+            try:
+                dt = st.prewarm(next_hw, ks=dispatch_chunks())
+                logger.info('prewarmed %dx%d in %.1fs', *next_hw, dt)
+            except Exception:
+                logger.warning('prewarm of %s failed', next_hw, exc_info=True)
+        thread = threading.Thread(target=work, name='prewarm', daemon=True)
+        thread.start()
+        return thread
+
     total_t0 = time.perf_counter()
     first = not args.resume
     image = st.snapshot() if args.resume else None
-    for hw in ladder:
+    for rung, hw in enumerate(ladder):
         content = np.uint8(content_pil.resize((hw[1], hw[0]), Image.LANCZOS))
         if first:
             st.set_content(content)
@@ -194,6 +227,10 @@ def main(argv=None):
             st.set_content(content)
         assert st.start(), 'engine failed to start (inconsistent state?)'
 
+        prewarm_thread = None
+        if args.prewarm_ladder and rung + 1 < len(ladder):
+            prewarm_thread = start_prewarm(ladder[rung + 1])
+
         remaining = args.iterations
         t0 = time.perf_counter()
         while remaining > 0:
@@ -209,6 +246,11 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         logger.info('scale %dx%d: %d iters in %.2fs (%.2f it/s)',
                     hw[0], hw[1], args.iterations, dt, args.iterations / dt)
+        if prewarm_thread is not None:
+            # Join before the next rung dispatches so a still-compiling
+            # prewarm doesn't race the live engine into a duplicate compile
+            # of the same program.
+            prewarm_thread.join()
 
     image = st.snapshot()
     im.as_pil(image).save(args.output)

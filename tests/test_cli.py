@@ -62,6 +62,32 @@ def test_cli_multi_scale_and_resume(tmp_path):
     assert max(Image.open(out2).size) == 36
 
 
+def test_cli_prewarm_ladder_matches_plain(tmp_path):
+    """--prewarm-ladder compiles the next rung on a throwaway engine while
+    the current rung runs: the optimization trajectory must be bit-identical
+    to a run without it."""
+    content, style = _write_images(tmp_path)
+    traces = []
+    for i, flag in enumerate(([], ['--prewarm-ladder'])):
+        out = tmp_path / f'out{i}.png'
+        csv = tmp_path / f'trace{i}.csv'
+        rc = cli_main([content, style, '-o', str(out), '--size', '36',
+                       '--iterations', '3', '--optimizer', 'adam',
+                       '--model-weights', 'random', '--platform', 'cpu',
+                       '--multi-scale', '--min-scale', '18',
+                       '--steps-per-dispatch', '2',
+                       '--trace-csv', str(csv)] + flag)
+        assert rc == 0
+        traces.append(pd.read_csv(csv))
+    plain, prewarmed = traces
+    assert len(plain) == len(prewarmed)
+    for col in plain.columns:
+        if col == 'time':
+            continue
+        np.testing.assert_array_equal(plain[col].to_numpy(),
+                                      prewarmed[col].to_numpy(), col)
+
+
 def test_checkpoint_roundtrip_preserves_state(tmp_path):
     from style_transfer2_tpu.engine import StyleTransfer
     from style_transfer2_tpu.engine.checkpoint import (load_checkpoint,
