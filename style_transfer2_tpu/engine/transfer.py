@@ -465,7 +465,7 @@ class StyleTransfer:
         array (one host transfer)."""
         return np.asarray(vgg19.deprocess(self._input))
 
-    def prewarm(self, hw, ks=(1,), style_hw=None):
+    def prewarm(self, hw, ks=(1,), style_hw=None, from_hw=None):
         """Compiles every program a live session needs at input grid hw
         WITHOUT touching this session's state. The step/eval/scan builders
         are module-level caches keyed on (objective structure, optimizer,
@@ -478,11 +478,16 @@ class StyleTransfer:
         ks are the fused chunk lengths to warm (1 = the interactive step;
         the serving driver passes its adaptive sub-chunk length too).
         style_hw defaults to the live style grid so the style pipeline
-        reuses already-compiled programs instead of adding new ones. Runs
-        one real step per program on dummy data (compile dominates; the
-        persistent compilation cache then covers future processes).
-        Thread-safe alongside a live engine stepping in another thread —
-        serving prewarm runs on its own executor. Returns wall seconds."""
+        reuses already-compiled programs instead of adding new ones.
+        from_hw (default: the live grid) additionally warms the RESIZE
+        path itself — the optimizer-moment resample programs keyed on
+        (from_hw -> hw) that a real size change dispatches (set_input's
+        warm-start branch) — by seeding the clone at from_hw and replaying
+        the live resize sequence onto hw. Runs one real step per program
+        on dummy data (compile dominates; the persistent compilation cache
+        then covers future processes). Thread-safe alongside a live engine
+        stepping in another thread — serving prewarm runs on its own
+        executor. Returns wall seconds."""
         t0 = time.perf_counter()
         clone = StyleTransfer(self.params, precision=self.precision,
                               n_corr=self.n_corr, placement=self.placement,
@@ -495,8 +500,19 @@ class StyleTransfer:
         hw = tuple(int(v) for v in hw)
         if style_hw is None:
             style_hw = self.style_hw or hw
+        if from_hw is None:
+            from_hw = self.input_hw
+        from_hw = tuple(int(v) for v in from_hw) if from_hw else None
         rng = np.random.RandomState(0)
-        clone.set_content(rng.randint(0, 256, hw + (3,)).astype(np.uint8))
+        if from_hw and from_hw != hw:
+            # Seed at the live grid (programs already compiled — cache
+            # hits), then resize exactly like the serving/CLI path does:
+            # set_input at the new shape takes the warm-start branch and
+            # compiles the (from_hw -> hw) moment-resample programs.
+            clone.set_content(
+                rng.randint(0, 256, from_hw + (3,)).astype(np.uint8))
+            clone.set_input(
+                rng.randint(0, 256, from_hw + (3,)).astype(np.uint8))
         clone.set_style(
             rng.randint(0, 256, tuple(style_hw) + (3,)).astype(np.uint8))
         if clone.spec().temporal:
@@ -504,6 +520,7 @@ class StyleTransfer:
                 rng.randint(0, 256, hw + (3,)).astype(np.uint8),
                 self.scalar_params['temporal'])
         clone.set_input(rng.randint(0, 256, hw + (3,)).astype(np.uint8))
+        clone.set_content(rng.randint(0, 256, hw + (3,)).astype(np.uint8))
         if not clone.start():
             raise RuntimeError('prewarm engine failed to start')
         for k in ks:

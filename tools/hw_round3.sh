@@ -72,4 +72,11 @@ run serve_interactive timeout 3600 python tools/measure_serving.py \
 run serve_pool timeout 3600 python tools/measure_serving.py \
     --tier pool --size 256 --lanes 4 --steps-per-dispatch 60
 
+# 6. Mid-run resize latency, cold vs background-prewarmed (the prewarm
+#    exists to hide the minutes-long remote compile of the new grid).
+run resize_cold timeout 3600 python tools/measure_serving.py \
+    --size 300 --resize-to 512 --warm-seconds 20
+run resize_prewarmed timeout 3600 python tools/measure_serving.py \
+    --size 300 --resize-to 512 --warm-seconds 20 --prewarm
+
 echo "done; results in $OUT" >&2

@@ -135,6 +135,79 @@ async def run_pool(args):
             'aggregate_its_per_s': round(sum(rates), 1)}
 
 
+async def run_resize(args):
+    """Mid-run resize latency: seconds from the applyParams size change to
+    the first iterate computed at the new grid. A cold resize pays the new
+    grid's XLA compile inside this window; with --prewarm the driver
+    compiled it in the background first (prewarm_sizes), so the delta
+    between the two arms is the compile time the prewarm hides."""
+    import aiohttp
+    import yaml
+    from aiohttp.test_utils import TestClient, TestServer
+    from style_transfer2_tpu.serve.app import init
+
+    config = base_config(args)
+    config['adaptive_dispatch'] = str(args.adaptive)
+    config['pipeline_depth'] = str(args.pipeline_depth)
+    if args.prewarm:
+        config['prewarm_sizes'] = str(args.resize_to)
+    app = init(config=config)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    tier = app['tier']
+    ws = await client.ws_connect('/websocket')
+    params_text = None
+    ready = False
+    while not (ready and params_text):
+        data = json.loads((await asyncio.wait_for(ws.receive(), 1200)).data)
+        if data['type'] == 'newParams':
+            params_text = data['params']
+        ready = ready or data['type'] == 'workerReady'
+    await ws.send_str(json.dumps({'type': 'start'}))
+    # Steady state on the live grid (compiles it, ramps the dispatcher).
+    await count_iterates(ws, args.warm_seconds)
+    if args.prewarm:
+        # The background prewarm must have finished for this arm to
+        # measure what it claims. Iteration keeps running meanwhile.
+        while (tier.driver._prewarm_task is None
+               or not tier.driver._prewarm_task.done()):
+            await asyncio.sleep(0.5)
+
+    doc = yaml.safe_load(params_text)
+    doc['size'] = args.resize_to
+    hw_before = tier.driver.transfer.input_hw
+    t0 = time.perf_counter()
+    await ws.send_str(json.dumps({'type': 'applyParams',
+                                  'params': yaml.safe_dump(doc)}))
+    # The engine's grid flips when the driver processes SetImages; iterate
+    # numbers from dispatches made before the flip never exceed the
+    # engine's t at flip time, so the first frame with i > mark is the
+    # first new-grid iterate (mark is read ≤ one poll interval after the
+    # flip — worst case one single-step dispatch of slack, since control
+    # traffic forces the next dispatch to a single step).
+    mark = None
+    latency = None
+    while latency is None:
+        try:
+            msg = await asyncio.wait_for(ws.receive(), 0.1)
+        except asyncio.TimeoutError:
+            msg = None
+        if mark is None and tier.driver.transfer.input_hw != hw_before:
+            mark = tier.driver.transfer.t
+        if msg is None or msg.type != aiohttp.WSMsgType.TEXT:
+            continue
+        data = json.loads(msg.data)
+        if (data['type'] == 'iterateInfo' and mark is not None
+                and data['i'] > mark):
+            latency = time.perf_counter() - t0
+    await ws.close()
+    await client.close()
+    return {'tier': 'app', 'mode': 'resize', 'size': args.size,
+            'resize_to': args.resize_to, 'prewarm': bool(args.prewarm),
+            'precision': args.precision,
+            'resize_latency_s': round(latency, 2)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--tier', choices=('app', 'pool'), default='app')
@@ -146,6 +219,14 @@ def main(argv=None):
     p.add_argument('--pipeline-depth', type=int, default=2)
     p.add_argument('--lanes', type=int, default=4)
     p.add_argument('--steps-per-dispatch', type=int, default=60)
+    p.add_argument('--resize-to', type=int, default=0,
+                   help='measure mid-run resize latency to this size '
+                        'instead of throughput (app tier only)')
+    p.add_argument('--prewarm', action='store_true',
+                   help='with --resize-to: prewarm the target size in the '
+                        'background first (prewarm_sizes)')
+    p.add_argument('--warm-seconds', type=float, default=10.0,
+                   help='steady-state window before a --resize-to change')
     p.add_argument('--platform', default='')
     args = p.parse_args(argv)
 
@@ -156,7 +237,10 @@ def main(argv=None):
     _jax.config.update('jax_compilation_cache_dir', str(ROOT / '.jax_cache'))
     _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-    runner = run_app if args.tier == 'app' else run_pool
+    if args.resize_to:
+        runner = run_resize
+    else:
+        runner = run_app if args.tier == 'app' else run_pool
     result = asyncio.run(runner(args))
     print(json.dumps(result), flush=True)
     return 0
