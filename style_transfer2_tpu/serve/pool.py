@@ -180,6 +180,7 @@ class PooledTier:
         self.tasks = []
         self.instance_id = os.urandom(8).hex()
         self.router = None
+        self._prewarm_task = None
         # Set when a device call exceeds pool_dispatch_timeout: the backend
         # (or tunnel) is wedged. Stepping stops, router heartbeats stop (so
         # the LB expires this instance and routes new users elsewhere), and
@@ -229,6 +230,60 @@ class PooledTier:
 
     def engine_of(self, sess):
         return self.engines[sess.bucket_hw]
+
+    def prewarm_bucket(self, size, k):
+        """Compiles the programs a future bucket at `size` dispatches —
+        add_job's feature/Gram forwards, run_steps_all(k), lane_image —
+        on a throwaway engine, WITHOUT creating the real bucket (an empty
+        real bucket would be dropped by _drop_empty_buckets anyway). The
+        batched builders are module-level caches and XLA executables key
+        on shapes, so the first user landing in that bucket later skips
+        its cold compile. Runs on the prewarm thread; returns the grid."""
+        hw = self.hw_for(size)
+        engine = BatchedStyleTransfer(
+            self.model_params, self.weights_doc[0], self.weights_doc[1],
+            hw, max_lanes=self.config.getint('pool_lanes', 4),
+            optimizer=self.config.get('pool_optimizer', 'adam'),
+            precision=self.config.get('precision', 'float32'),
+            placement=self.placement)
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 256, hw + (3,)).astype(np.uint8)
+        lane = engine.add_job(img, img, img)
+        engine.set_running(lane, True)
+        engine.run_steps_all(k)
+        engine.lane_image(lane)
+        return hw
+
+    async def _prewarm_loop(self):
+        """Background bucket prewarm (pool_prewarm config): compiles every
+        pool_sizes bucket's programs one at a time while the tier serves.
+        Compilation is host-side; each size costs one dummy K-chunk of
+        device time. The live default bucket is skipped (it compiled at
+        startup)."""
+        import concurrent.futures
+        executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix='pool-prewarm')
+        k = self.config.getint('pool_steps_per_dispatch', 1)
+        loop = asyncio.get_event_loop()
+        try:
+            for size in self.allowed_sizes() or []:
+                if self.wedged:
+                    return
+                if self.hw_for(size) in self.engines:
+                    continue
+                try:
+                    t0 = time.monotonic()
+                    hw = await loop.run_in_executor(
+                        executor, self.prewarm_bucket, size, k)
+                    logger.info('prewarmed bucket %s in %.1fs', hw,
+                                time.monotonic() - t0)
+                except Exception:
+                    logger.warning('bucket prewarm at %d failed', size,
+                                   exc_info=True)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            executor.shutdown(wait=False)
 
     async def _device_call(self, fn, *args, **kwargs):
         """One executor-thread device call under the shared watchdog
@@ -593,6 +648,9 @@ class PooledTier:
             max_workers=1, thread_name_prefix='pool-driver')
         self.tasks.append(asyncio.ensure_future(self.drive()))
         self.tasks.append(asyncio.ensure_future(self.expire_idle()))
+        if self.config.getboolean('pool_prewarm', False):
+            self._prewarm_task = asyncio.ensure_future(self._prewarm_loop())
+            self.tasks.append(self._prewarm_task)
         self.router = sn.RouterLink(
             config, self.instance_id,
             host=config.get('pool_host', config['http_host']),

@@ -56,6 +56,22 @@ def pool_client():
     loop.close()
 
 
+@pytest.fixture
+def pool_client_prewarm():
+    from style_transfer2_tpu.serve.pool import init
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    config = _config()
+    config['pool_prewarm'] = 'yes'
+    app = init(config=config)
+    jar = loop.run_until_complete(_make_jar(loop))
+    client = TestClient(TestServer(app), loop=loop, cookie_jar=jar)
+    loop.run_until_complete(client.start_server())
+    yield client, loop, app
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
 class WSSession:
     """One browser session: its own cookie + websocket."""
 
@@ -507,6 +523,41 @@ def test_pool_wedged_fails_fast(pool_client):
         assert resp.status == 503
 
         tier.wedged = False
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_bucket_prewarm(pool_client_prewarm):
+    """pool_prewarm compiles the non-default pool_sizes buckets in the
+    background on throwaway engines: the task finishes without creating
+    real buckets, live iteration keeps flowing throughout, and a session
+    can then migrate into the prewarmed size."""
+    client, loop, app = pool_client_prewarm
+
+    async def body():
+        tier = app['tier']
+        assert tier._prewarm_task is not None
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        await a.send({'type': 'start'})
+        await a.recv_until('iterateInfo')
+
+        await asyncio.wait_for(tier._prewarm_task, 600)
+        # Throwaway engines only: the 48px bucket does not exist yet.
+        assert set(tier.engines) == {tier.default_hw}
+
+        # Live session still iterating; migration into the prewarmed
+        # bucket works (its programs are now cached).
+        a.got.pop('iterateInfo', None)
+        await a.recv_until('iterateInfo')
+        params = yaml.safe_load(a.got['newParams']['params'])
+        params['size'] = 48
+        a.got.pop('newParams')
+        await a.send({'type': 'applyParams', 'params': yaml.safe_dump(params)})
+        reply = await a.recv_until('newParams')
+        assert reply['errorString'] == ''
+        sess = list(tier.sessions.values())[0]
+        assert max(sess.bucket_hw) == 48
         await a.ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 600))
 
