@@ -145,6 +145,8 @@ class SingleSessionTier(sn.EngineActions):
             adaptive_max_steps=adaptive,
             pipeline_depth=self.config.getint('pipeline_depth',
                                               pipeline_default),
+            adaptive_latency_target=self.config.getfloat(
+                'adaptive_latency_target', 0.0),
             dispatch_timeout=self.config.getfloat('dispatch_timeout', 0.0))
         self.driver_task = asyncio.ensure_future(self.driver.run())
         if self.pump_task is not None:

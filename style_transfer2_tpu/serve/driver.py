@@ -16,6 +16,7 @@ the StyleTransfer state, so there is no cross-task race by construction
 import asyncio
 import concurrent.futures
 import logging
+import time
 
 from ..engine.transfer import StyleTransfer
 from . import messages as m
@@ -48,6 +49,99 @@ async def run_with_watchdog(fut, timeout, describe):
             'device dispatch exceeded %.1fs' % timeout)
 
 
+class AdaptiveTuner:
+    """Sizes fused dispatch chunks from MEASURED step time and dispatch
+    round-trip, so control latency tracks a wall-clock target across
+    resolutions instead of a hand-tuned iteration count (a 60-iteration
+    chunk is ~1 s at 300px and ~11 s at 2048px). Encodes the round-2
+    pipelining rule as a live decision: a sub-chunk's device compute must
+    cover the dispatch RTT, or depth-2 pipelining LOSES to one big chunk
+    (measured: 28 it/s at 2x15 vs 36 at 1x30 over the tunnel).
+
+    Estimators (EWMA):
+      * step_s — device seconds per iteration. Clean source: the interval
+        between consecutive chunk collections while the pipeline stays
+        saturated (the device is never idle there, so the interval is one
+        chunk's pure compute). Fallback when running unpipelined: the
+        difference between a k-chunk wall and a single-step wall.
+      * rtt_s — dispatch round trip (enqueue + fetch), from single-step
+        dispatch wall time minus one step's compute. Persists across
+        resolution changes (it is a property of the link, not the grid);
+        step_s resets on a grid change.
+
+    Chunk lengths are quantized to a fixed ladder — every distinct scan
+    length is its own XLA program, so free-running lengths would compile
+    dozens of variants per grid."""
+
+    LADDER = (1, 2, 4, 8, 15, 30, 60, 120, 240)
+
+    def __init__(self, latency_target, alpha=0.35):
+        self.latency_target = float(latency_target)
+        self.alpha = float(alpha)
+        self.step_s = None
+        self.rtt_s = None
+        self._w1_last = None
+        self._grid = None
+
+    def _ewma(self, old, value):
+        return value if old is None else old + self.alpha * (value - old)
+
+    def note_grid(self, hw):
+        if hw != self._grid:
+            self._grid = hw
+            self.step_s = None
+            self._w1_last = None
+
+    def note_single_wall(self, wall):
+        """A blocking single-step dispatch took `wall` = rtt + 1 step."""
+        self._w1_last = wall
+        if self.step_s is not None:
+            self.rtt_s = self._ewma(self.rtt_s, max(0.0, wall - self.step_s))
+
+    def note_chunk_wall(self, k, wall):
+        """An UNpipelined k-chunk dispatch-to-collect took `wall` =
+        rtt + k steps; paired with a recent single-step wall it separates
+        the two."""
+        if k > 1 and self._w1_last is not None:
+            step = (wall - self._w1_last) / (k - 1)
+            if step > 0:
+                self.step_s = self._ewma(self.step_s, step)
+                self.rtt_s = self._ewma(
+                    self.rtt_s, max(0.0, self._w1_last - step))
+
+    def note_chunk_interval(self, k, interval):
+        """Consecutive collections `interval` apart with the pipeline
+        saturated: pure compute of one k-chunk."""
+        if k > 0 and interval > 0:
+            self.step_s = self._ewma(self.step_s, interval / k)
+            if self._w1_last is not None:
+                self.rtt_s = self._ewma(
+                    self.rtt_s, max(0.0, self._w1_last - self.step_s))
+
+    @classmethod
+    def _ladder_floor(cls, k):
+        best = cls.LADDER[0]
+        for v in cls.LADDER:
+            if v <= k:
+                best = v
+        return best
+
+    def plan(self, default_k, depth_cap):
+        """(k, depth) for the next quiet-queue dispatch. Before any
+        estimate exists, the configured static chunking applies."""
+        if not self.latency_target or self.step_s is None:
+            return default_k, depth_cap
+        total = max(1, int(self.latency_target / self.step_s))
+        k = self._ladder_floor(max(1, total // max(1, depth_cap)))
+        depth = depth_cap
+        if depth > 1 and self.rtt_s is not None \
+                and k * self.step_s <= self.rtt_s:
+            # Sub-chunks too small to hide the RTT: one big chunk wins.
+            depth = 1
+            k = self._ladder_floor(total)
+        return k, depth
+
+
 class Driver:
     """Owns the device and the StyleTransfer engine; talks to the app over
     a pair of asyncio queues."""
@@ -55,7 +149,8 @@ class Driver:
     def __init__(self, params, precision='float32', placement=None,
                  loop=None, use_pallas=False, steps_per_dispatch=1,
                  image_every=1, adaptive_max_steps=0, pipeline_depth=1,
-                 dispatch_timeout=0.0, remat=False, prewarm_grids=()):
+                 dispatch_timeout=0.0, remat=False, prewarm_grids=(),
+                 adaptive_latency_target=0.0):
         """steps_per_dispatch > 1 fuses K optimizer steps per device
         dispatch (lax.scan) for throughput; control latency grows to K
         iterations (the reference guarantee is 1, the default).
@@ -91,7 +186,14 @@ class Driver:
         session is live (StyleTransfer.prewarm on a dedicated executor):
         a later resize to a prewarmed grid skips its minutes-long remote
         compile. The chunk lengths warmed are the ones this driver's
-        dispatch policy actually uses (1 plus the adaptive sub-chunk)."""
+        dispatch policy actually uses (1 plus the adaptive sub-chunk).
+        adaptive_latency_target > 0 (seconds, requires adaptive mode)
+        AUTO-TUNES the quiet-phase chunking from measured step time and
+        dispatch RTT (AdaptiveTuner): total in-flight work targets that
+        many seconds of wall clock at the current resolution, and
+        pipelining turns itself off when sub-chunk compute can't cover
+        the RTT. adaptive_max_steps then only seeds the pre-measurement
+        default; chunk lengths come from AdaptiveTuner.LADDER."""
         self.in_queue = asyncio.Queue()
         self.out_queue = asyncio.Queue()
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
@@ -103,6 +205,10 @@ class Driver:
                               for hw in prewarm_grids]
         self._prewarm_task = None
         self._recent_control = False
+        self.tuner = None
+        if adaptive_latency_target > 0 and self.adaptive_max_steps > 1:
+            self.tuner = AdaptiveTuner(adaptive_latency_target)
+        self._last_collect_end = None
         self.transfer = StyleTransfer(params, precision=precision,
                                       placement=placement,
                                       use_pallas=use_pallas, remat=remat)
@@ -127,7 +233,10 @@ class Driver:
     def _prewarm_ks(self):
         """The fused chunk lengths this driver's dispatch policy uses."""
         if self.adaptive_max_steps > 1:
-            return (1, max(1, self.adaptive_max_steps // self.pipeline_depth))
+            k = max(1, self.adaptive_max_steps // self.pipeline_depth)
+            if self.tuner is not None:
+                k, _ = self.tuner.plan(k, self.pipeline_depth)
+            return (1, k)
         if self.steps_per_dispatch > 1:
             return (1, self.steps_per_dispatch)
         return (1,)
@@ -184,11 +293,12 @@ class Driver:
         await self.start()
         if self.prewarm_grids:
             self._prewarm_task = asyncio.ensure_future(self._prewarm_loop())
-        in_flight = []   # begin_steps handles, dispatch order
+        in_flight = []   # (begin_steps handle, enqueue time), dispatch order
 
         async def flush():
             while in_flight:
-                await self._collect(in_flight.pop(0))
+                await self._collect(in_flight.pop(0)[0])
+            self._last_collect_end = None
 
         try:
             while not self.should_stop:
@@ -220,6 +330,9 @@ class Driver:
                         else:
                             depth = self.pipeline_depth
                             k = max(1, self.adaptive_max_steps // depth)
+                            if self.tuner is not None:
+                                self.tuner.note_grid(self.transfer.input_hw)
+                                k, depth = self.tuner.plan(k, depth)
                     else:
                         k = self.steps_per_dispatch
                         depth = self.pipeline_depth if k > 1 else 1
@@ -231,17 +344,38 @@ class Driver:
                         t_next = self.transfer.t + 1
                         fetch = (t_next == 1
                                  or t_next % self.image_every == 0)
+                        t0 = time.perf_counter()
                         image, trace = await self._device(
                             self.transfer.step, fetch)
+                        if self.tuner is not None:
+                            self.tuner.note_grid(self.transfer.input_hw)
+                            self.tuner.note_single_wall(
+                                time.perf_counter() - t0)
                         await self.out_queue.put(
                             m.Iterate(image, self.transfer.t, trace))
                     elif len(in_flight) < depth:
                         # Enqueue another chunk (cheap: async dispatch).
-                        in_flight.append(await self._device(
-                            self.transfer.begin_steps, k))
+                        handle = await self._device(
+                            self.transfer.begin_steps, k)
+                        in_flight.append((handle, time.perf_counter()))
                     else:
                         # Pipeline full: settle the oldest chunk.
-                        await self._collect(in_flight.pop(0))
+                        handle, t_begin = in_flight.pop(0)
+                        await self._collect(handle)
+                        now = time.perf_counter()
+                        if self.tuner is not None:
+                            if in_flight and \
+                                    self._last_collect_end is not None:
+                                # Device saturated since the previous
+                                # collect: the gap is pure chunk compute.
+                                self.tuner.note_chunk_interval(
+                                    handle.n_steps,
+                                    now - self._last_collect_end)
+                            elif not in_flight:
+                                # Unpipelined: wall = RTT + k steps.
+                                self.tuner.note_chunk_wall(
+                                    handle.n_steps, now - t_begin)
+                        self._last_collect_end = now
                     continue
                 await flush()
                 msg = await self.in_queue.get()

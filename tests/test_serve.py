@@ -168,6 +168,76 @@ def test_driver_prewarm_runs_alongside_iteration():
     run(body())
 
 
+def test_adaptive_tuner_math():
+    """AdaptiveTuner sizes chunks to the latency target at the measured
+    step time, snaps to the compile ladder, and drops pipelining when a
+    sub-chunk's compute can't cover the measured RTT (the round-2 rule)."""
+    from style_transfer2_tpu.serve.driver import AdaptiveTuner
+
+    t = AdaptiveTuner(2.0)
+    assert t.plan(30, 2) == (30, 2)      # no estimates: default applies
+    t.note_grid((300, 300))
+    t.note_single_wall(0.46)             # rtt 0.45 + 10 ms step
+    for _ in range(10):
+        t.note_chunk_interval(30, 0.3)   # 10 ms/step, saturated
+    assert abs(t.step_s - 0.01) < 1e-9
+    assert abs(t.rtt_s - 0.45) < 0.01
+    # 2 s target / 10 ms = 200 in flight; 100/sub-chunk -> ladder 60;
+    # 60 steps = 0.6 s compute > 0.45 s RTT, so depth 2 stands.
+    assert t.plan(30, 2) == (60, 2)
+
+    # Resolution change: step estimate resets (grid-bound), RTT persists
+    # (link-bound).
+    t.note_grid((2048, 2048))
+    assert t.step_s is None and t.rtt_s is not None
+    t.note_single_wall(0.65)             # rtt 0.45 + 200 ms step
+    for _ in range(10):
+        t.note_chunk_interval(5, 1.0)    # 200 ms/step
+    # 2 s / 200 ms = 10 in flight; 5/sub-chunk -> ladder 4; 0.8 s > RTT.
+    assert t.plan(30, 2) == (4, 2)
+
+    # Tight target + slow link: sub-chunks can't cover the RTT -> one
+    # unpipelined chunk of the full budget.
+    t2 = AdaptiveTuner(0.5)
+    t2.note_grid((256, 256))
+    t2.note_single_wall(0.46)
+    for _ in range(10):
+        t2.note_chunk_interval(30, 0.3)
+    assert t2.plan(30, 2) == (30, 1)
+
+
+def test_driver_latency_target_tunes_live():
+    """A driver with adaptive_latency_target measures step time from its
+    own dispatch stream and keeps iterating; the tuner's estimates
+    populate and its plan stays on the compile ladder."""
+    async def body():
+        driver = Driver(random_params(0), adaptive_max_steps=6,
+                        pipeline_depth=2, adaptive_latency_target=0.5)
+        assert driver.tuner is not None
+        task = asyncio.ensure_future(driver.run())
+        await _drain_until(driver, m.WorkerReady)
+
+        rng = np.random.RandomState(3)
+        imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                for _ in range(3)]
+        await driver.in_queue.put(m.SetWeights(WEIGHTS, SCALARS))
+        await driver.in_queue.put(m.SetImages(None, *imgs, False))
+        await driver.in_queue.put(m.SetOptimizer('adam'))
+        await driver.in_queue.put(m.StartIteration())
+        last = None
+        for _ in range(40):
+            last = await _drain_until(driver, m.Iterate)
+        assert np.isfinite(last.trace['loss'])
+        assert driver.tuner.step_s is not None and driver.tuner.step_s > 0
+        k, depth = driver.tuner.plan(3, 2)
+        from style_transfer2_tpu.serve.driver import AdaptiveTuner
+        assert k in AdaptiveTuner.LADDER and depth in (1, 2)
+
+        await driver.in_queue.put(m.Shutdown())
+        await task
+    run(body())
+
+
 def test_prewarm_grids_from_config():
     """_prewarm_grids snaps each configured size through the live resize
     pipeline at the content image's aspect ratio, deduplicated."""
