@@ -29,9 +29,9 @@ sys.path.insert(0, str(HERE))
 sys.path.insert(0, str(HERE / 'tests'))
 
 SIZE = 512
-N_WARMUP = 240
-N_TIMED = 960
-CHUNK = 240
+N_WARMUP = int(os.environ.get('BENCH_WARMUP', 240))
+N_TIMED = int(os.environ.get('BENCH_TIMED', 960))
+CHUNK = int(os.environ.get('BENCH_CHUNK', 240))
 CPU_BASELINE_STEPS = 3
 
 WEIGHTS = {'content': {'conv4_2': 0.08},
@@ -376,6 +376,11 @@ def run_phase(name, timeout, fn, result, fatal=False):
 
 def main():
     import jax
+    # The axon sitecustomize ignores the JAX_PLATFORMS env var; this is the
+    # working override (used by the CPU-fallback re-exec below).
+    forced_platform = os.environ.get('BENCH_PLATFORM', '')
+    if forced_platform:
+        jax.config.update('jax_platforms', forced_platform)
     from style_transfer2_tpu.utils import enable_compile_cache
     enable_compile_cache()
     from style_transfer2_tpu.models import random_params
@@ -398,10 +403,31 @@ def main():
         devices = ex.submit(jax.devices).result(
             float(os.environ.get('BENCH_INIT_TIMEOUT', 900)))
     except concurrent.futures.TimeoutError:
+        if (os.environ.get('BENCH_CPU_FALLBACK', '1') != '0'
+                and not forced_platform):
+            # A zero record helps nobody (the round-2 outage produced
+            # exactly that). Re-exec on CPU with a short workload; the
+            # record is explicitly labeled so it can't be mistaken for a
+            # TPU number. The hung init thread poisons this process's
+            # backend state, hence the subprocess.
+            log('device backend unreachable — re-running on CPU '
+                '(BENCH_CPU_FALLBACK); the record is labeled cpu-fallback')
+            import subprocess
+            env = dict(os.environ, BENCH_PLATFORM='cpu',
+                       BENCH_CPU_FALLBACK='0')
+            # One scan-30 program per precision (warmup reuses it), ~15
+            # CPU minutes total instead of the TPU workload's hours.
+            env.setdefault('BENCH_WARMUP', '30')
+            env.setdefault('BENCH_TIMED', '30')
+            env.setdefault('BENCH_CHUNK', '30')
+            os._exit(subprocess.call([sys.executable, __file__], env=env))
         result['error'] = ('device backend unreachable: jax.devices() '
                            'exceeded the init timeout (tunnel down)')
         emit(result)
         os._exit(3)   # the hung init thread cannot be joined
+    if forced_platform:
+        result['platform'] = ('%s (forced: device backend unreachable '
+                              'fallback or A/B override)' % forced_platform)
     log('devices: %s' % (devices,))
     params = random_params(0)
     content, style = load_images()

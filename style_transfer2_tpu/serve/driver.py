@@ -82,9 +82,20 @@ class AdaptiveTuner:
         self.rtt_s = None
         self._w1_last = None
         self._grid = None
+        # (grid, k) programs already run once: the FIRST dispatch of a
+        # program pays its XLA compile (seconds to minutes) inside the
+        # measured wall, so that sample is discarded, not averaged.
+        self._seen = set()
 
     def _ewma(self, old, value):
         return value if old is None else old + self.alpha * (value - old)
+
+    def _first_run(self, k):
+        key = (self._grid, k)
+        if key in self._seen:
+            return False
+        self._seen.add(key)
+        return True
 
     def note_grid(self, hw):
         if hw != self._grid:
@@ -94,6 +105,8 @@ class AdaptiveTuner:
 
     def note_single_wall(self, wall):
         """A blocking single-step dispatch took `wall` = rtt + 1 step."""
+        if self._first_run(1):
+            return
         self._w1_last = wall
         if self.step_s is not None:
             self.rtt_s = self._ewma(self.rtt_s, max(0.0, wall - self.step_s))
@@ -102,6 +115,8 @@ class AdaptiveTuner:
         """An UNpipelined k-chunk dispatch-to-collect took `wall` =
         rtt + k steps; paired with a recent single-step wall it separates
         the two."""
+        if self._first_run(k):
+            return
         if k > 1 and self._w1_last is not None:
             step = (wall - self._w1_last) / (k - 1)
             if step > 0:
@@ -112,6 +127,8 @@ class AdaptiveTuner:
     def note_chunk_interval(self, k, interval):
         """Consecutive collections `interval` apart with the pipeline
         saturated: pure compute of one k-chunk."""
+        if self._first_run(k):
+            return
         if k > 0 and interval > 0:
             self.step_s = self._ewma(self.step_s, interval / k)
             if self._w1_last is not None:

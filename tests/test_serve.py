@@ -177,6 +177,7 @@ def test_adaptive_tuner_math():
     t = AdaptiveTuner(2.0)
     assert t.plan(30, 2) == (30, 2)      # no estimates: default applies
     t.note_grid((300, 300))
+    t.note_single_wall(90.0)             # first run: compile — discarded
     t.note_single_wall(0.46)             # rtt 0.45 + 10 ms step
     for _ in range(10):
         t.note_chunk_interval(30, 0.3)   # 10 ms/step, saturated
@@ -190,6 +191,7 @@ def test_adaptive_tuner_math():
     # (link-bound).
     t.note_grid((2048, 2048))
     assert t.step_s is None and t.rtt_s is not None
+    t.note_single_wall(120.0)            # new grid's compile — discarded
     t.note_single_wall(0.65)             # rtt 0.45 + 200 ms step
     for _ in range(10):
         t.note_chunk_interval(5, 1.0)    # 200 ms/step
@@ -200,6 +202,7 @@ def test_adaptive_tuner_math():
     # unpipelined chunk of the full budget.
     t2 = AdaptiveTuner(0.5)
     t2.note_grid((256, 256))
+    t2.note_single_wall(90.0)            # compile — discarded
     t2.note_single_wall(0.46)
     for _ in range(10):
         t2.note_chunk_interval(30, 0.3)

@@ -72,6 +72,13 @@ run serve_interactive timeout 3600 python tools/measure_serving.py \
 run serve_pool timeout 3600 python tools/measure_serving.py \
     --tier pool --size 256 --lanes 4 --steps-per-dispatch 60
 
+# 5b. Latency-targeted auto-tuning: same interactive workload, chunking
+#     chosen by the live tuner instead of the fixed count; the record
+#     includes the tuner's step/RTT estimates and its chosen (k, depth).
+run serve_latency_target timeout 3600 python tools/measure_serving.py \
+    --tier app --size 300 --adaptive 60 --pipeline-depth 2 \
+    --latency-target 2.0
+
 # 6. Mid-run resize latency, cold vs background-prewarmed (the prewarm
 #    exists to hide the minutes-long remote compile of the new grid).
 run resize_cold timeout 3600 python tools/measure_serving.py \

@@ -77,6 +77,8 @@ async def run_app(args):
     config = base_config(args)
     config['adaptive_dispatch'] = str(args.adaptive)
     config['pipeline_depth'] = str(args.pipeline_depth)
+    if args.latency_target:
+        config['adaptive_latency_target'] = str(args.latency_target)
     app = init(config=config)
     client = TestClient(TestServer(app))
     await client.start_server()
@@ -88,11 +90,23 @@ async def run_app(args):
             break
     await ws.send_str(json.dumps({'type': 'start'}))
     rate, i0, i1 = await count_iterates(ws, args.seconds)
+    result = {'tier': 'app', 'size': args.size, 'precision': args.precision,
+              'adaptive': args.adaptive,
+              'pipeline_depth': args.pipeline_depth,
+              'its_per_s': round(rate, 1), 'iters': i1 - i0}
+    tuner = app['tier'].driver.tuner
+    if tuner is not None:
+        result['latency_target'] = args.latency_target
+        result['tuner_step_ms'] = (round(tuner.step_s * 1e3, 2)
+                                   if tuner.step_s else None)
+        result['tuner_rtt_ms'] = (round(tuner.rtt_s * 1e3, 1)
+                                  if tuner.rtt_s else None)
+        result['tuner_plan'] = list(tuner.plan(
+            max(1, args.adaptive // args.pipeline_depth),
+            args.pipeline_depth))
     await ws.close()
     await client.close()
-    return {'tier': 'app', 'size': args.size, 'precision': args.precision,
-            'adaptive': args.adaptive, 'pipeline_depth': args.pipeline_depth,
-            'its_per_s': round(rate, 1), 'iters': i1 - i0}
+    return result
 
 
 async def run_pool(args):
@@ -219,6 +233,9 @@ def main(argv=None):
     p.add_argument('--pipeline-depth', type=int, default=2)
     p.add_argument('--lanes', type=int, default=4)
     p.add_argument('--steps-per-dispatch', type=int, default=60)
+    p.add_argument('--latency-target', type=float, default=0.0,
+                   help='enable adaptive_latency_target auto-tuning (app '
+                        'tier); the result reports the tuner estimates')
     p.add_argument('--resize-to', type=int, default=0,
                    help='measure mid-run resize latency to this size '
                         'instead of throughput (app tier only)')
