@@ -28,6 +28,7 @@ from PIL import Image
 from .. import utils
 from ..models.weights import resolve_params
 from . import messages as m
+from . import persist
 from . import session as sn
 from .driver import Driver
 from .error_pages import error_pages
@@ -74,6 +75,8 @@ class SingleSessionTier(sn.EngineActions):
             config, self.instance_id,
             host=config['http_host'], port=config['http_port'])
         self.router.enabled_check = lambda: self.sess.worker_ready
+        self.persist_path = config.get('persist_path', '')
+        self._persist_sig = None
 
     # -- config helpers -----------------------------------------------------
 
@@ -253,7 +256,8 @@ class SingleSessionTier(sn.EngineActions):
 
         await self._to_driver(m.SetImages(None, sess.input_arr,
                                           np.uint8(content), np.uint8(style),
-                                          reset_state))
+                                          reset_state,
+                                          t0=0 if reset_state else sess.i))
         await self._to_driver(m.SetWeights(*sess.params['weights']))
 
     # -- EngineActions (WS inbound commands) -----------------------------------
@@ -308,6 +312,31 @@ class SingleSessionTier(sn.EngineActions):
         self.sess.input_arr = None
         await self.feed_engine_state()
         self.sess.push_state()
+        # A reset must not be undone by a crash restoring the pre-reset
+        # snapshot: persist the defaults state immediately.
+        self._maybe_persist()
+
+    # -- session persistence -----------------------------------------------------
+
+    def _maybe_persist(self):
+        """Snapshots the session if anything observable changed since the
+        last write (persist.signature covers every saved field)."""
+        if not self.persist_path:
+            return
+        sig = persist.signature(self.sess)
+        if sig == self._persist_sig:
+            return
+        try:
+            persist.save_session(self.persist_path, self.sess)
+            self._persist_sig = sig
+        except OSError as err:
+            logger.warning('session persist failed: %s', err)
+
+    async def _persist_loop(self):
+        interval = self.config.getfloat('persist_interval', 30.0)
+        while True:
+            await asyncio.sleep(interval)
+            self._maybe_persist()
 
     # -- per-slot upload policy --------------------------------------------------
 
@@ -396,13 +425,36 @@ class SingleSessionTier(sn.EngineActions):
                         'snap to multiples of %d',
                         self.placement.n_shards, self.placement.n_shards)
         self.sess.load_defaults(self.config, ROOT_DIR)
-        self._spawn_driver()
+        restored = (self.persist_path
+                    and persist.load_session(self.persist_path, self.sess))
+        resume = restored and self.sess.running
+        if restored:
+            self._persist_sig = persist.signature(self.sess)
+        self._spawn_driver()   # forces running=False until resume below
+        if restored:
+            # A fresh engine boots with the default optimizer; the restored
+            # params document is authoritative. Sent before the images so
+            # the reset it triggers lands before SetImages seeds the
+            # restored iterate counter (t0).
+            await self._to_driver(m.SetOptimizer(
+                self.sess.params['optimizer'],
+                self.sess.params.get('optimizer_step_size')))
         await self.feed_engine_state()
+        if resume:
+            # The process died (or was redeployed) mid-optimization:
+            # resume where the snapshot left off. Costs only optimizer
+            # momentum — the worker-restart contract, extended across
+            # full process restarts.
+            await self.start()
+            self.sess.running = True
         self.tasks.append(asyncio.ensure_future(self._supervise_driver()))
+        if self.persist_path:
+            self.tasks.append(asyncio.ensure_future(self._persist_loop()))
         if self.router.configured:
             self.tasks.append(asyncio.ensure_future(self.router.heartbeat()))
 
     async def on_cleanup(self, app):
+        self._maybe_persist()
         await self.router.unregister()
         for task in self.tasks:
             task.cancel()

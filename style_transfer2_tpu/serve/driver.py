@@ -431,6 +431,11 @@ class Driver:
 
             if msg.reset_state:
                 await self._device(t.reset)
+            elif msg.t0:
+                # Continue the session's iterate numbering (a fresh engine's
+                # first set_input resets t to 0; the user's counter should
+                # survive an engine respawn just like the iterate does).
+                t.t = int(msg.t0)
 
         elif isinstance(msg, m.SetOptimizer):
             # The worker resets when the optimizer INSTANCE doesn't match the

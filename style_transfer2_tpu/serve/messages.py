@@ -91,6 +91,11 @@ class SetImages(Message):
     content_image: Any = None
     style_image: Any = None
     reset_state: bool = False
+    # Seeds the engine's iterate counter after the slots apply: a respawned
+    # driver re-fed mid-session state continues the user's numbering
+    # instead of restarting at 1 (the pooled tier's add_job(t=...) analog;
+    # reference restarts cost only optimizer momentum, app.py:336-344).
+    t0: int = 0
 
 
 @dataclass(repr=False)
