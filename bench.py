@@ -134,20 +134,35 @@ def step_flops(st):
     return total
 
 
-def mfu_estimate(st, its_per_s):
-    """Model FLOPs utilization: analytic step FLOPs over measured step time
-    and the chip's bf16 peak. Returns (mfu, tflops_per_step) or (None,
-    None) off-TPU."""
+def mfu_estimate(st, its_per_s, precision='float32'):
+    """Model FLOPs utilization + percent of the roofline floor: analytic
+    step FLOPs over measured step time and the chip's bf16 peak, plus the
+    tile-aware speed-of-light comparison (utils/perfmodel.py). Returns
+    (mfu, tflops_per_step, pct_of_sol) or Nones off-TPU."""
     import jax
     kind = jax.devices()[0].device_kind
     peak = next((p for key, p in PEAK_FLOPS if key in kind), None)
     if peak is None:
-        return None, None
+        return None, None, None
     flops = step_flops(st)
     mfu = flops * its_per_s / peak
-    log('MFU: %.3g FLOPs/step at %.1f it/s vs %.3g peak -> %.1f%%'
-        % (flops, its_per_s, peak, 100 * mfu))
-    return round(mfu, 4), round(flops / 1e12, 4)
+    sol = None
+    try:
+        from style_transfer2_tpu.utils.perfmodel import model_step
+        chip = next(c for key, c in
+                    (('v6', 'v6e'), ('v5p', 'v5p'), ('v5', 'v5e'))
+                    if key in kind)
+        spec = st.spec()
+        m = model_step(st.input_hw, precision, chip=chip,
+                       content_layers=spec.content_layers,
+                       style_layers=spec.style_layers)
+        sol = round(100 * m.sol_at(1 / its_per_s), 1)
+    except Exception as err:      # chip not in the model's table, etc.
+        log('roofline model unavailable: %r' % err)
+    log('MFU: %.3g FLOPs/step at %.1f it/s vs %.3g peak -> %.1f%% '
+        '(%s%% of roofline floor)'
+        % (flops, its_per_s, peak, 100 * mfu, sol))
+    return round(mfu, 4), round(flops / 1e12, 4), sol
 
 
 # -- North star: wall-clock to a converged 1024px image -------------------------
@@ -439,7 +454,7 @@ def main():
 
     def headline():
         tpu_its, st = bench_tpu(params, content, style, precision)
-        mfu, tflops_step = mfu_estimate(st, tpu_its)
+        mfu, tflops_step, sol = mfu_estimate(st, tpu_its, precision)
         del st
         cpu_box['its'] = bench_cpu_reference(params, content, style)
         result['value'] = round(tpu_its, 3)
@@ -447,6 +462,8 @@ def main():
         if mfu is not None:
             result['mfu'] = mfu
             result['tflops_per_step'] = tflops_step
+            if sol is not None:
+                result['pct_of_sol'] = sol
 
     run_phase('headline', phase_timeout, headline, result, fatal=True)
 
@@ -457,13 +474,15 @@ def main():
         def speed_mode():
             other_its, st2 = bench_tpu(params, content, style, other,
                                        n_timed=N_TIMED // 2)
-            other_mfu, _ = mfu_estimate(st2, other_its)
+            other_mfu, _, other_sol = mfu_estimate(st2, other_its, other)
             del st2
             result['%s_its_per_s' % other] = round(other_its, 3)
             result['%s_vs_baseline' % other] = round(
                 other_its / cpu_box['its'], 2)
             if other_mfu is not None:
                 result['%s_mfu' % other] = other_mfu
+                if other_sol is not None:
+                    result['%s_pct_of_sol' % other] = other_sol
 
         run_phase(other, phase_timeout, speed_mode, result)
 

@@ -191,6 +191,20 @@ def main(argv=None):
             ops = device_op_summary(tdir)
         except Exception:
             ops = None
+    # Roofline context: the measured step as a fraction of the analytic
+    # speed-of-light floor (tools/perf_model.py prints the full table).
+    floor_ms = sol_pct = None
+    try:
+        from style_transfer2_tpu.utils.perfmodel import model_step
+        spec = st.spec()
+        m = model_step(st.input_hw, args.precision, remat=args.remat,
+                       content_layers=spec.content_layers,
+                       style_layers=spec.style_layers)
+        floor_ms = round(m.t_floor * 1e3, 3)
+        if best_ms is not None:
+            sol_pct = round(100 * m.sol_at(best_ms / 1e3), 1)
+    except Exception:
+        pass
     print(json.dumps({
         'hbm_peak_mb': peak_mb or None,
         'top_ops': ops,
@@ -199,6 +213,7 @@ def main(argv=None):
         'block1_s2d': args.block1_s2d, 'pallas': args.pallas,
         's2d_transform': args.s2d_transform or vgg19.S2D_TRANSFORM,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
+        'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
         'warmup_s': round(warm_s, 1), 'loss': loss,
     }), flush=True)
