@@ -68,11 +68,16 @@ def snapshot(sess):
     return data
 
 
-def save_session(path, sess):
-    """Atomically writes the session snapshot to `path`."""
+def save_session(path, sess, extra=None):
+    """Atomically writes the session snapshot to `path`. `extra` adds
+    tier-specific npz entries (e.g. the pooled tier's bucket grid);
+    load_session ignores keys it doesn't know."""
+    data = snapshot(sess)
+    if extra:
+        data.update(extra)
     tmp = str(path) + '.tmp'
     with open(tmp, 'wb') as f:
-        np.savez(f, **snapshot(sess))
+        np.savez(f, **data)
     os.replace(tmp, str(path))
     logger.debug('session persisted to %s (iterate %d)', path, sess.i)
 

@@ -42,6 +42,7 @@ from ..engine.batched import BatchedStyleTransfer
 from ..engine.objective import ObjectiveSpec
 from ..models.weights import resolve_params
 from ..optim import OPTIMIZERS
+from . import persist
 from . import session as sn
 from .error_pages import error_pages
 from .render import add_static_routes, render
@@ -187,6 +188,11 @@ class PooledTier:
         # /stats shows it — instead of a zombie instance that still answers
         # HTTP but never iterates.
         self.wedged = False
+        # Session persistence (pool_persist_dir): one snapshot file per
+        # cookie session, restored at boot — a pooled redeploy keeps every
+        # user's iterate at the cost of optimizer momentum.
+        self.persist_dir = config.get('pool_persist_dir', '')
+        self._persist_sigs = {}
 
     # -- buckets ------------------------------------------------------------
 
@@ -385,8 +391,121 @@ class PooledTier:
     def release(self, sess):
         self.engine_of(sess).remove_job(sess.lane)
         self.sessions.pop(sess.session_id, None)
+        self._drop_persisted(sess.session_id)
         logger.info('released session %s (lane %d)',
                     sess.session_id, sess.lane)
+
+    # -- session persistence -----------------------------------------------
+
+    def _persist_file(self, sid):
+        return Path(self.persist_dir) / (sid + '.npz')
+
+    def _drop_persisted(self, sid):
+        self._persist_sigs.pop(sid, None)
+        if self.persist_dir:
+            try:
+                self._persist_file(sid).unlink(missing_ok=True)
+            except OSError:
+                pass
+
+    def _persist_all(self):
+        """Snapshots every changed session (host state only — no device
+        work, so this is safe even while wedged)."""
+        if not self.persist_dir:
+            return
+        try:
+            Path(self.persist_dir).mkdir(parents=True, exist_ok=True)
+        except OSError as err:
+            logger.warning('pool persist dir unavailable: %s', err)
+            return
+        for sid, sess in list(self.sessions.items()):
+            sig = persist.signature(sess)
+            if self._persist_sigs.get(sid) == sig:
+                continue
+            try:
+                persist.save_session(
+                    self._persist_file(sid), sess,
+                    extra={'pool_bucket_hw':
+                           np.asarray(sess.bucket_hw, np.int64)})
+                self._persist_sigs[sid] = sig
+            except OSError as err:
+                logger.warning('session %s persist failed: %s', sid, err)
+
+    async def _persist_loop(self):
+        interval = self.config.getfloat('persist_interval', 30.0)
+        while True:
+            await asyncio.sleep(interval)
+            self._persist_all()
+
+    def _restore_sessions(self):
+        """Rebuilds persisted sessions at boot: each snapshot claims a lane
+        in its bucket (re-created as needed — with pool_prewarm those
+        compiles overlap) and re-feeds the engine from host state, so the
+        returning browser's cookie lands on its old session with only
+        optimizer momentum lost. Runs before the serving tasks start, so
+        no lookup() can race a restore. Capacity shrinks, corrupt files,
+        and disallowed sizes skip the session (logged), never abort boot."""
+        paths = sorted(Path(self.persist_dir).glob('*.npz'))
+        for path in paths:
+            sid = path.stem
+            try:
+                with np.load(str(path), allow_pickle=False) as data:
+                    hw = tuple(int(x) for x in data['pool_bucket_hw'])
+            except Exception as err:
+                logger.warning('%s: unreadable pool snapshot (%r)',
+                               path, err)
+                continue
+            size = max(hw)
+            try:
+                self.check_size_allowed(size)
+            except sn.SizeRejected as err:
+                logger.warning('skipping session %s: %s', sid, err)
+                continue
+            engine = self.bucket_for(size)
+            lane = engine.free_lane()
+            if lane is None:
+                logger.warning('skipping session %s: bucket %s is full',
+                               sid, engine.hw)
+                continue
+            sess = PoolSession(sid, lane, engine.hw)
+            if not persist.load_session(path, sess):
+                continue
+            if (sess.input_arr is None
+                    or sess.content_image is None
+                    or sess.style_image is None):
+                logger.warning('skipping session %s: incomplete snapshot',
+                               sid)
+                continue
+            if sess.input_arr.shape[:2] != engine.hw:
+                # The bucket grid moved (config/base-image change since the
+                # snapshot): warm-resample the iterate onto it.
+                sess.input_arr = utils.resample_hwc(sess.input_arr,
+                                                    engine.hw)
+            sess.params['size'] = max(engine.hw)
+            sess.params['optimizer'] = engine.optimizer_name  # bucket-fixed
+            engine.active[lane] = True
+            self.sessions[sid] = sess
+            try:
+                engine.add_job(self._fit(sess.content_image, engine.hw),
+                               self._fit(sess.style_image, engine.hw),
+                               np.float32(sess.input_arr), lane=lane,
+                               weights=sess.params['weights'][0],
+                               scalar_params=sess.params['weights'][1],
+                               step_size=sess.params.get(
+                                   'optimizer_step_size'),
+                               t=sess.i)
+                engine.set_running(lane, sess.running)
+            except Exception:
+                engine.active[lane] = False
+                self.sessions.pop(sid, None)
+                logger.warning('session %s restore failed', sid,
+                               exc_info=True)
+                continue
+            self._persist_sigs[sid] = persist.signature(sess)
+            logger.info('restored session %s (lane %d, iterate %d, '
+                        'running=%s)', sid, lane, sess.i, sess.running)
+        if self.sessions:
+            self.wake.set()
 
     @staticmethod
     def _fit(pil_image, hw):
@@ -646,6 +765,11 @@ class PooledTier:
         self.lane_lock = asyncio.Lock()
         self.executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix='pool-driver')
+        if self.persist_dir:
+            # Before the serving tasks start: no lookup() can race a
+            # restore, and returning cookies land on their old sessions.
+            self._restore_sessions()
+            self.tasks.append(asyncio.ensure_future(self._persist_loop()))
         self.tasks.append(asyncio.ensure_future(self.drive()))
         self.tasks.append(asyncio.ensure_future(self.expire_idle()))
         if self.config.getboolean('pool_prewarm', False):
@@ -661,6 +785,7 @@ class PooledTier:
             self.tasks.append(asyncio.ensure_future(self.router.heartbeat()))
 
     async def on_cleanup(self, app):
+        self._persist_all()
         if self.router is not None:
             await self.router.unregister()
         for task in self.tasks:

@@ -184,3 +184,77 @@ def test_app_restart_resumes(tmp_path):
 
     loop.run_until_complete(asyncio.wait_for(second_life(), 300))
     loop.close()
+
+
+# -- Pooled tier: all sessions survive a redeploy ----------------------------
+
+
+def test_pool_restart_resumes(tmp_path):
+    """Every cookie session of a pooled instance survives a full process
+    restart: lanes re-claim, counters and images persist, running lanes
+    resume, paused lanes stay paused (reference analog: none — a pooled
+    redeploy dropped every user)."""
+    from style_transfer2_tpu.serve.pool import init
+    import aiohttp
+    from test_pool import WSSession, _config
+
+    config = _config()
+    config['pool_persist_dir'] = str(tmp_path / 'pool')
+    config['persist_interval'] = '3600'   # only the cleanup write matters
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    async def first_life():
+        app = init(config=config)
+        client = TestClient(TestServer(app),
+                            cookie_jar=aiohttp.DummyCookieJar())
+        await client.start_server()
+        a = await WSSession(client).open()
+        b = await WSSession(client).open()
+        await a.recv_until('state')
+        await b.recv_until('state')
+        await a.send({'type': 'start'})
+        info = await a.recv_until('iterateInfo')
+        while info['i'] < 3:
+            info = await a.recv_until('iterateInfo')
+        await a.ws.close()
+        await b.ws.close()
+        tier = app['tier']
+        sess_a = tier.sessions[a.cookie]
+        state = (a.cookie, b.cookie, sess_a.i, np.array(sess_a.input_arr))
+        await client.close()   # on_cleanup persists every session
+        return state
+
+    cookie_a, cookie_b, i_a, input_a = loop.run_until_complete(
+        asyncio.wait_for(first_life(), 300))
+    assert i_a >= 3
+    assert len(list((tmp_path / 'pool').glob('*.npz'))) == 2
+
+    async def second_life():
+        app = init(config=config)
+        client = TestClient(TestServer(app),
+                            cookie_jar=aiohttp.DummyCookieJar())
+        await client.start_server()
+        tier = app['tier']
+        assert set(tier.sessions) == {cookie_a, cookie_b}
+        sess_a, sess_b = tier.sessions[cookie_a], tier.sessions[cookie_b]
+        assert sess_a.i == i_a and sess_a.running
+        assert sess_b.i == 0 and not sess_b.running
+        np.testing.assert_allclose(np.float32(sess_a.input_arr),
+                                   np.float32(input_a), atol=1e-4)
+        # The returning browser's cookie lands on its old session and the
+        # lane keeps iterating with continued numbering.
+        a = WSSession(client)
+        a.cookie = cookie_a
+        a.ws = await client.ws_connect('/websocket', headers=a._headers())
+        info = await a.recv_until('iterateInfo')
+        assert info['i'] > i_a
+        assert np.isfinite(info['trace']['loss'])
+        # Releasing a session deletes its snapshot.
+        await a.ws.close()
+        await tier.engine_op(tier.release, sess_b)
+        assert not (tmp_path / 'pool' / (cookie_b + '.npz')).exists()
+        await client.close()
+
+    loop.run_until_complete(asyncio.wait_for(second_life(), 300))
+    loop.close()
