@@ -29,17 +29,30 @@ if ! probe; then
     exit 3
 fi
 
-# 1. S2D_TRANSFORM A/B (512px bf16, on-device scan spans, fresh process
-#    per arm). If 'slice' wins, flip the default in models/vgg19.py.
+# 1. Full benchmark FIRST (headline f32 + bf16 + MFU + 1024px north-star):
+#    the single most valuable artifact if the tunnel dies mid-queue.
+run bench timeout 9000 python bench.py
+
+# 2. S2D_TRANSFORM A/B (512px bf16, on-device scan spans, fresh process
+#    per arm). If 'slice' wins, flip the default in models/vgg19.py
+#    AFTER the queue (editing a traced file invalidates the compile cache).
 run s2d_transpose timeout 2400 python tools/measure_step.py \
     --s2d-transform transpose
 run s2d_slice timeout 2400 python tools/measure_step.py \
     --s2d-transform slice
 
-# 2. Full benchmark (headline f32 + bf16 + MFU + 1024px north-star).
-run bench timeout 9000 python bench.py
+# 3. Serving rates (VERDICT item-1 deliverables — before the riskier
+#    high-res/remat/pallas phases): interactive adaptive=60 depth-2,
+#    pooled 4-lane, and the latency-targeted tuner arm.
+run serve_interactive timeout 3600 python tools/measure_serving.py \
+    --tier app --size 300 --adaptive 60 --pipeline-depth 2
+run serve_pool timeout 3600 python tools/measure_serving.py \
+    --tier pool --size 256 --lanes 4 --steps-per-dispatch 60
+run serve_latency_target timeout 3600 python tools/measure_serving.py \
+    --tier app --size 300 --adaptive 60 --pipeline-depth 2 \
+    --latency-target 2.0
 
-# 3. High-res regime step times + traces for MFU analysis (VERDICT r3 #6).
+# 4. High-res regime step times + traces for MFU analysis (VERDICT r3 #6).
 run hires_1024 timeout 3600 python tools/measure_step.py --size 1024 \
     --remat --keep-trace /tmp/trace_1024
 run hires_2048 timeout 3600 python tools/measure_step.py --size 2048 \
@@ -64,20 +77,6 @@ run pallas_1024 timeout 3600 python tools/measure_step.py --size 1024 \
     --remat --pallas
 run pallas_2048 timeout 3600 python tools/measure_step.py --size 2048 \
     --remat --chunk 20 --pallas
-
-# 5. Serving rates on the round-2 step (re-measurement pending since the
-#    outage): interactive adaptive=60 depth-2, and pooled 4-lane.
-run serve_interactive timeout 3600 python tools/measure_serving.py \
-    --tier app --size 300 --adaptive 60 --pipeline-depth 2
-run serve_pool timeout 3600 python tools/measure_serving.py \
-    --tier pool --size 256 --lanes 4 --steps-per-dispatch 60
-
-# 5b. Latency-targeted auto-tuning: same interactive workload, chunking
-#     chosen by the live tuner instead of the fixed count; the record
-#     includes the tuner's step/RTT estimates and its chosen (k, depth).
-run serve_latency_target timeout 3600 python tools/measure_serving.py \
-    --tier app --size 300 --adaptive 60 --pipeline-depth 2 \
-    --latency-target 2.0
 
 # 6. Mid-run resize latency, cold vs background-prewarmed (the prewarm
 #    exists to hide the minutes-long remote compile of the new grid).
