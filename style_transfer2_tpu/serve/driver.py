@@ -58,22 +58,38 @@ class AdaptiveTuner:
     cover the dispatch RTT, or depth-2 pipelining LOSES to one big chunk
     (measured: 28 it/s at 2x15 vs 36 at 1x30 over the tunnel).
 
-    Estimators (EWMA):
-      * step_s — device seconds per iteration. Clean source: the interval
-        between consecutive chunk collections while the pipeline stays
-        saturated (the device is never idle there, so the interval is one
-        chunk's pure compute). Fallback when running unpipelined: the
-        difference between a k-chunk wall and a single-step wall.
-      * rtt_s — dispatch round trip (enqueue + fetch), from single-step
-        dispatch wall time minus one step's compute. Persists across
-        resolution changes (it is a property of the link, not the grid);
-        step_s resets on a grid change.
+    Estimation runs as an explicit per-grid CALIBRATION, because the only
+    sample kind that cleanly separates step time from dispatch RTT is an
+    UNpipelined differential: pipelined collect intervals equal pure chunk
+    compute only while the device is genuinely busy, and over a slow link
+    with small chunks they are collect-RTT, not compute. (The round-3
+    hardware run proved the failure: intervals fed step_s ≈ RTT/k, the
+    plan shrank k, which made intervals even more RTT-dominated — a
+    death spiral down to dispatch-bound 2-step chunks at 8 it/s on a
+    ~5 ms step.)
+
+      phase 'single' — plan() forces 1-step dispatches until one clean
+        single wall w1 = rtt + 1·step is recorded (the first dispatch of
+        any (grid, k) program pays its XLA compile and is discarded).
+      phase 'chunk' — plan() forces one UNpipelined default-k chunk;
+        its wall = rtt + k·step paired with w1 yields both estimates
+        (the RTT cancels in the difference). A grid change re-enters
+        calibration at 'chunk': step_s is grid-bound and resets, rtt_s
+        is link-bound and persists, so one chunk wall recalibrates.
+      phase 'run' — normal planning. Pipelined collect intervals keep
+        step_s tracking drift, but a sample is accepted only if it would
+        not raise step_s by more than 50% — an idle-device interval
+        (≈ RTT) can therefore never contaminate the estimate. Eight
+        consecutive rejections force recalibration ('chunk'), so if the
+        estimate ever goes stale the tuner heals itself with one
+        unpipelined chunk instead of trusting poisoned samples.
 
     Chunk lengths are quantized to a fixed ladder — every distinct scan
     length is its own XLA program, so free-running lengths would compile
     dozens of variants per grid."""
 
     LADDER = (1, 2, 4, 8, 15, 30, 60, 120, 240)
+    MAX_INTERVAL_REJECTS = 8
 
     def __init__(self, latency_target, alpha=0.35):
         self.latency_target = float(latency_target)
@@ -82,6 +98,8 @@ class AdaptiveTuner:
         self.rtt_s = None
         self._w1_last = None
         self._grid = None
+        self._phase = 'single'
+        self._rejects = 0
         # (grid, k) programs already run once: the FIRST dispatch of a
         # program pays its XLA compile (seconds to minutes) inside the
         # measured wall, so that sample is discarded, not averaged.
@@ -102,6 +120,10 @@ class AdaptiveTuner:
             self._grid = hw
             self.step_s = None
             self._w1_last = None
+            self._rejects = 0
+            # rtt persists across grids (a property of the link); with it
+            # known, one unpipelined chunk wall recalibrates step directly.
+            self._phase = 'chunk' if self.rtt_s is not None else 'single'
 
     def note_single_wall(self, wall):
         """A blocking single-step dispatch took `wall` = rtt + 1 step."""
@@ -110,30 +132,54 @@ class AdaptiveTuner:
         self._w1_last = wall
         if self.step_s is not None:
             self.rtt_s = self._ewma(self.rtt_s, max(0.0, wall - self.step_s))
+        if self._phase == 'single':
+            self._phase = 'chunk'
 
     def note_chunk_wall(self, k, wall):
         """An UNpipelined k-chunk dispatch-to-collect took `wall` =
-        rtt + k steps; paired with a recent single-step wall it separates
-        the two."""
+        rtt + k steps: paired with a single-step wall (or a known rtt) it
+        separates step from RTT — the calibration sample."""
         if self._first_run(k):
             return
-        if k > 1 and self._w1_last is not None:
-            step = (wall - self._w1_last) / (k - 1)
-            if step > 0:
-                self.step_s = self._ewma(self.step_s, step)
-                self.rtt_s = self._ewma(
-                    self.rtt_s, max(0.0, self._w1_last - step))
-
-    def note_chunk_interval(self, k, interval):
-        """Consecutive collections `interval` apart with the pipeline
-        saturated: pure compute of one k-chunk."""
-        if self._first_run(k):
+        if k <= 1:
             return
-        if k > 0 and interval > 0:
-            self.step_s = self._ewma(self.step_s, interval / k)
+        step = None
+        if self._w1_last is not None:
+            # Differential: the RTT cancels between the two walls. RTT
+            # jitter can swamp the compute delta (negative step) — skip
+            # the sample and wait for the next chunk wall.
+            d = (wall - self._w1_last) / (k - 1)
+            step = d if d > 0 else None
+        elif self.rtt_s is not None:
+            d = (wall - self.rtt_s) / k
+            step = d if d > 0 else None
+        if step is not None:
+            self.step_s = self._ewma(self.step_s, step)
             if self._w1_last is not None:
                 self.rtt_s = self._ewma(
-                    self.rtt_s, max(0.0, self._w1_last - self.step_s))
+                    self.rtt_s, max(0.0, self._w1_last - step))
+            self._phase = 'run'
+            self._rejects = 0
+
+    def note_chunk_interval(self, k, interval):
+        """Consecutive PIPELINED collections `interval` apart. Pure chunk
+        compute only if the device stayed busy across the gap, so accept
+        the sample only when it cannot raise step_s by more than 50%:
+        genuine drift tracks, an idle-device (RTT-dominated) interval is
+        rejected, and persistent rejection triggers recalibration."""
+        if self._first_run(k):
+            return
+        if k <= 0 or interval <= 0 or self._phase != 'run':
+            return
+        cand = interval / k
+        if self.step_s is not None and cand > 1.5 * self.step_s:
+            self._rejects += 1
+            if self._rejects >= self.MAX_INTERVAL_REJECTS:
+                self._phase = 'chunk'   # heal via one unpipelined chunk
+                self._rejects = 0
+            return
+        self._rejects = 0
+        self.step_s = self._ewma(self.step_s, cand)
 
     @classmethod
     def _ladder_floor(cls, k):
@@ -144,16 +190,31 @@ class AdaptiveTuner:
         return best
 
     def plan(self, default_k, depth_cap):
-        """(k, depth) for the next quiet-queue dispatch. Before any
-        estimate exists, the configured static chunking applies."""
-        if not self.latency_target or self.step_s is None:
+        """(k, depth) for the next quiet-queue dispatch. During
+        calibration the plan IS the measurement schedule: single-step
+        dispatches until a clean w1, then one unpipelined default chunk."""
+        if not self.latency_target:
             return default_k, depth_cap
-        total = max(1, int(self.latency_target / self.step_s))
+        if self._phase == 'single':
+            return 1, 1
+        if self._phase == 'chunk':
+            return (default_k if default_k > 1 else self.LADDER[5]), 1
+        # The settle of an in-flight dispatch pays one collect RTT on top
+        # of the compute, so that much comes off the latency budget —
+        # floored at a quarter of the target so a link whose RTT exceeds
+        # the target degrades to small-but-sane chunks instead of
+        # collapsing to 1-step dispatches.
+        budget = self.latency_target
+        if self.rtt_s is not None:
+            budget = max(self.latency_target - self.rtt_s,
+                         0.25 * self.latency_target)
+        total = max(1, int(budget / self.step_s))
         k = self._ladder_floor(max(1, total // max(1, depth_cap)))
         depth = depth_cap
         if depth > 1 and self.rtt_s is not None \
                 and k * self.step_s <= self.rtt_s:
-            # Sub-chunks too small to hide the RTT: one big chunk wins.
+            # Sub-chunks too small to hide the RTT: one big chunk wins
+            # (round-2 measured rule).
             depth = 1
             k = self._ladder_floor(total)
         return k, depth
@@ -252,7 +313,10 @@ class Driver:
         if self.adaptive_max_steps > 1:
             k = max(1, self.adaptive_max_steps // self.pipeline_depth)
             if self.tuner is not None:
-                k, _ = self.tuner.plan(k, self.pipeline_depth)
+                # Warm both the calibration chunk (default k) and the
+                # tuner's current plan, deduplicated in order.
+                kt, _ = self.tuner.plan(k, self.pipeline_depth)
+                return tuple(dict.fromkeys((1, k, kt)))
             return (1, k)
         if self.steps_per_dispatch > 1:
             return (1, self.steps_per_dispatch)

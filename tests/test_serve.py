@@ -169,44 +169,88 @@ def test_driver_prewarm_runs_alongside_iteration():
 
 
 def test_adaptive_tuner_math():
-    """AdaptiveTuner sizes chunks to the latency target at the measured
-    step time, snaps to the compile ladder, and drops pipelining when a
-    sub-chunk's compute can't cover the measured RTT (the round-2 rule)."""
+    """AdaptiveTuner calibrates step/RTT from unpipelined differentials
+    (plan() IS the measurement schedule), sizes chunks to the latency
+    target net of the collect RTT, snaps to the compile ladder, and drops
+    pipelining when a sub-chunk's compute can't cover the measured RTT
+    (the round-2 rule)."""
     from style_transfer2_tpu.serve.driver import AdaptiveTuner
 
     t = AdaptiveTuner(2.0)
-    assert t.plan(30, 2) == (30, 2)      # no estimates: default applies
     t.note_grid((300, 300))
+    assert t.plan(30, 2) == (1, 1)       # calibration: single-step wall
     t.note_single_wall(90.0)             # first run: compile — discarded
     t.note_single_wall(0.46)             # rtt 0.45 + 10 ms step
-    for _ in range(10):
-        t.note_chunk_interval(30, 0.3)   # 10 ms/step, saturated
-    assert abs(t.step_s - 0.01) < 1e-9
-    assert abs(t.rtt_s - 0.45) < 0.01
-    # 2 s target / 10 ms = 200 in flight; 100/sub-chunk -> ladder 60;
-    # 60 steps = 0.6 s compute > 0.45 s RTT, so depth 2 stands.
+    assert t.plan(30, 2) == (30, 1)      # calibration: unpipelined chunk
+    t.note_chunk_wall(30, 90.0)          # first (grid,30) run — discarded
+    t.note_chunk_wall(30, 0.75)          # rtt 0.45 + 30 x 10 ms
+    assert abs(t.step_s - 0.01) < 1e-9   # (0.75 - 0.46) / 29
+    assert abs(t.rtt_s - 0.45) < 1e-9    # 0.46 - step
+    # Budget = 2 s - 0.45 s RTT = 1.55 s / 10 ms = 155 in flight;
+    # 77/sub-chunk -> ladder 60; 0.6 s compute > 0.45 s RTT: depth 2.
     assert t.plan(30, 2) == (60, 2)
 
     # Resolution change: step estimate resets (grid-bound), RTT persists
-    # (link-bound).
+    # (link-bound) — recalibration needs only one unpipelined chunk.
     t.note_grid((2048, 2048))
     assert t.step_s is None and t.rtt_s is not None
-    t.note_single_wall(120.0)            # new grid's compile — discarded
-    t.note_single_wall(0.65)             # rtt 0.45 + 200 ms step
-    for _ in range(10):
-        t.note_chunk_interval(5, 1.0)    # 200 ms/step
-    # 2 s / 200 ms = 10 in flight; 5/sub-chunk -> ladder 4; 0.8 s > RTT.
-    assert t.plan(30, 2) == (4, 2)
+    assert t.plan(30, 2) == (30, 1)
+    t.note_chunk_wall(30, 120.0)         # new grid's compile — discarded
+    t.note_chunk_wall(30, 6.45)          # rtt 0.45 + 30 x 200 ms
+    assert abs(t.step_s - 0.2) < 1e-6
+    # Budget 1.55 s / 200 ms = 7; 3/sub-chunk -> ladder 2; 0.4 s <= RTT:
+    # pipelining loses -> one unpipelined chunk of the full budget.
+    assert t.plan(30, 2) == (4, 1)
 
-    # Tight target + slow link: sub-chunks can't cover the RTT -> one
-    # unpipelined chunk of the full budget.
+    # Tight target + slow link: the RTT floor (a quarter of the target)
+    # keeps chunks sane instead of collapsing toward 1-step dispatches.
     t2 = AdaptiveTuner(0.5)
     t2.note_grid((256, 256))
+    assert t2.plan(30, 2) == (1, 1)
     t2.note_single_wall(90.0)            # compile — discarded
     t2.note_single_wall(0.46)
-    for _ in range(10):
-        t2.note_chunk_interval(30, 0.3)
     assert t2.plan(30, 2) == (30, 1)
+    t2.note_chunk_wall(30, 90.0)         # compile — discarded
+    t2.note_chunk_wall(30, 0.75)
+    assert t2.plan(30, 2) == (8, 1)      # 0.125 s floor / 10 ms -> 12 -> 8
+
+
+def test_adaptive_tuner_rtt_never_contaminates_step():
+    """Regression for the round-3 hardware spiral: on a slow link with
+    small chunks, pipelined collect intervals measure the collect RTT,
+    not compute. Those samples must be rejected (step_s unchanged, plan
+    stable), and persistent rejection must trigger recalibration via an
+    unpipelined chunk rather than trusting poisoned samples."""
+    from style_transfer2_tpu.serve.driver import AdaptiveTuner
+
+    t = AdaptiveTuner(2.0)
+    t.note_grid((300, 300))
+    t.note_single_wall(90.0)
+    t.note_single_wall(1.805)            # rtt 1.8 + 5 ms step
+    t.note_chunk_wall(30, 90.0)
+    t.note_chunk_wall(30, 1.95)          # rtt 1.8 + 30 x 5 ms
+    assert abs(t.step_s - 0.005) < 1e-9
+    assert abs(t.rtt_s - 1.8) < 1e-9
+    plan0 = t.plan(30, 2)
+    assert plan0[0] >= 60                # big chunks despite the slow link
+
+    # Device-idle gaps (~RTT) arrive as 'intervals': every one rejected.
+    t.note_chunk_interval(plan0[0], 1.8)  # first (grid, k): compile discard
+    for _ in range(AdaptiveTuner.MAX_INTERVAL_REJECTS - 1):
+        t.note_chunk_interval(plan0[0], 1.8)
+        assert abs(t.step_s - 0.005) < 1e-9
+        assert t.plan(30, 2) == plan0    # no spiral
+    # The next rejection trips the self-heal: recalibrate, don't trust.
+    t.note_chunk_interval(plan0[0], 1.8)
+    assert t.plan(30, 2) == (30, 1)      # back to an unpipelined chunk
+    t.note_chunk_wall(30, 1.95)
+    assert abs(t.step_s - 0.005) < 1e-9  # recalibration confirms it
+    assert t.plan(30, 2) == plan0
+
+    # Genuine drift (interval consistent with the estimate) still tracks.
+    before = t.step_s
+    t.note_chunk_interval(plan0[0], plan0[0] * 0.006)
+    assert t.step_s > before
 
 
 def test_driver_latency_target_tunes_live():
