@@ -48,6 +48,8 @@ def main(argv=None):
                    help='fused steps per traced dispatch (the chunk)')
     p.add_argument('--copies', type=int, default=12,
                    help='itemize the N biggest copy ops')
+    p.add_argument('--itemize', default='copy',
+                   help='op-class prefix to itemize (default copy)')
     p.add_argument('--top', type=int, default=16)
     args = p.parse_args(argv)
 
@@ -81,7 +83,7 @@ def main(argv=None):
         key = re.sub(r'(\.\d+|\.clone)+$', '', name)
         grouped[key] += e['dur']
         counts[key] += 1
-        if key.startswith('copy'):
+        if key.startswith(args.itemize):
             copies[name] += e['dur']
             copy_meta.setdefault(name, e.get('args', {}))
 
@@ -97,7 +99,8 @@ def main(argv=None):
               % (key, dur / 1e3, 100 * dur / grand, counts[key]))
 
     if copies:
-        print('\ncopy total: %.3f ms/step' % (
+        print('\n%s total: %.3f ms/step' % (
+            args.itemize,
             sum(copies.values()) / 1e3 / args.steps / max(1, len(scans))))
         for name, dur in copies.most_common(args.copies):
             a = copy_meta[name]
