@@ -35,6 +35,22 @@ from ..ops.losses import p_norm, tv_norm
 # Weights with |w| <= this are treated as absent (reference worker.py:234,250).
 WEIGHT_EPS = 1e-15
 
+# bf16 speed-mode loss-feed experiments (hardware-A/B'd via
+# tools/measure_step.py; flipped only on trace evidence). Both are no-ops
+# in float32 parity mode — the golden tests are untouched either way.
+# BF16_TAPS: feature taps stay in the compute dtype (the features are
+# bf16 upstream anyway, so the f32 tap cast adds no information while
+# doubling tap + Gram-feed + cotangent HBM traffic); loss scalars, norms
+# and the trace stay float32.
+BF16_TAPS = False
+# STYLE_EINSUM: express Gram + style half-gradient as reshape-free
+# contractions over the N-D tap so XLA picks the matmul output layout
+# the conv backward wants (the (HW, c) dot output pays a measured
+# layout-flip copy per style layer: 0.54 ms/step at 1024px, 1.9 at 2048).
+# bf16 (speed) mode only: the contraction order differs from the
+# reference's (hw,c)@(c,c) dot, which would perturb float32 parity.
+STYLE_EINSUM = False
+
 LOSS_NAMES = ('content', 'style', 'deepdream')
 SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')
 
@@ -160,8 +176,10 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
 
     def objective(params, x, content_feats, grams, layer_weights, scalars,
                   norms_vals, norms_set, temporal_target=None):
+        tap_dtype = (compute_dtype if BF16_TAPS
+                     and compute_dtype == jnp.bfloat16 else None)
         model = vgg19.VGG19Features(params, precision, compute_dtype,
-                                    remat, block1_s2d)
+                                    remat, block1_s2d, tap_dtype)
         feats, vjp = model.features_and_vjp(x, spec.layers)
 
         loss = jnp.float32(0.0)
@@ -208,13 +226,34 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
                     # gradient matmul in one pass (ops/pallas).
                     from ..ops.pallas import fused_style_branch
                     s_grad, gram_diff = fused_style_branch(feat, grams[layer])
+                elif STYLE_EINSUM and compute_dtype == jnp.bfloat16:
+                    # Reshape-free form: contract over every non-channel
+                    # axis of the (possibly s2d-blocked) tap. Same math,
+                    # N-D output — XLA is free to lay the result out the
+                    # way the conv backward consumes it.
+                    v = (feat if feat.shape[-1] == n
+                         else feat.reshape(*feat.shape[:-1], -1, n))
+                    gram = jnp.einsum(
+                        '...c,...d->cd', v, v, precision=precision,
+                        preferred_element_type=jnp.float32) / size
+                    gram_diff = gram - grams[layer]
+                    s_grad = jnp.einsum(
+                        '...c,cd->...d', v, gram_diff.astype(feat.dtype),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                    s_grad = s_grad.reshape(feat.shape)
+                    s_grad = s_grad * (2.0 / (jnp.float32(n * n) * size))
                 else:
                     gram_diff = (gram_matrix(feat, precision, channels=n)
                                  - grams[layer])
                     flat = feat.reshape(-1, n)
                     # Reference half-gradient, NHWC form: feat @ gram_diff
                     # (gram_diff is symmetric), scaled by 2/(c^2 * c*h*w).
-                    s_grad = jnp.dot(flat, gram_diff, precision=precision,
+                    # gram_diff joins the matmul in the tap dtype: a
+                    # mixed-dtype dot would silently promote the big
+                    # operand to f32 (no-op when taps are f32).
+                    s_grad = jnp.dot(flat, gram_diff.astype(feat.dtype),
+                                     precision=precision,
                                      preferred_element_type=jnp.float32)
                     s_grad = s_grad.reshape(feat.shape)
                     s_grad = s_grad * (2.0 / (jnp.float32(n * n) * size))
@@ -237,7 +276,10 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
                 trace.append(_rms(term))
                 diff = diff + term
 
-            diffs[layer] = diff
+            # The cotangent enters the vjp in the tap dtype; the cast
+            # fuses into the diff-accumulation epilogue (identity for
+            # f32 taps).
+            diffs[layer] = diff.astype(feat.dtype)
 
         trace.append(loss)  # scd_loss
 

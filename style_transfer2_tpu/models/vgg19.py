@@ -245,9 +245,12 @@ def _s2d_kernel(w):
 # 'slice'     — free W-merging reshape + two stride-2 H slices + concat
 #               (channel order p*2c + q*c + k, identical to the transpose
 #               form); keeps the shuffle off the lane dimension.
-# 'transpose' — the direct 6-D reshape/transpose (measured 0.33 ms/step
-#               round trip at 512px bf16; the current default).
-S2D_TRANSFORM = 'transpose'
+# 'transpose' — the direct 6-D reshape/transpose.
+# Round-3 hardware A/B (bf16, tunneled v5e, on-device scan spans):
+# 'slice' wins at every size — 4.75 vs 5.09 ms/step at 512px, 31.6 vs
+# 32.9 at 1024, 144.9 vs 151.7 at 2048 (the 6-D transpose pays layout
+# copies both directions: ~13 ms/step at 2048). Default: slice.
+S2D_TRANSFORM = 'slice'
 
 
 def _space_to_depth(x):
@@ -295,10 +298,10 @@ def _conv1_s2d(x, w, b, precision):
 
 @functools.partial(jax.jit, static_argnames=('layers', 'precision',
                                              'compute_dtype', 'remat',
-                                             'block1_s2d'))
+                                             'block1_s2d', 'tap_dtype'))
 def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST,
                      compute_dtype=jnp.float32, remat=False,
-                     block1_s2d=True):
+                     block1_s2d=True, tap_dtype=None):
     """Runs the network forward, returning a dict of feature maps for the
     requested blob names (default: all blobs), like CaffeModel.forward
     (reference worker.py:77-86) — but stops at the deepest requested blob
@@ -326,6 +329,11 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
         reshape/transpose across a sharded H axis can force cross-shard
         regrouping, and the 1.22x win was only ever measured single-chip
         (512px bf16). BLOCK1_S2D='always' overrides, for the hardware A/B.
+      tap_dtype: dtype of the returned feature taps. None (default) =
+        float32 (full-precision loss math). The objective passes the
+        compute dtype in bf16 speed mode (engine/objective.py BF16_TAPS):
+        the features are bf16 upstream anyway, so an f32 tap adds no
+        information while doubling tap/Gram/cotangent HBM traffic.
     """
     if layers is None:
         layers = BLOB_NAMES
@@ -399,7 +407,7 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
                     h = s2d_conv_block(h, p['w'].astype(compute_dtype),
                                        p['b'].astype(compute_dtype))
                 if name in b1_tapped:
-                    taps[name] = h.astype(jnp.float32)
+                    taps[name] = h.astype(tap_dtype or jnp.float32)
             return h, tuple(taps[n] for n in b1_tapped)
 
         if block_remat:
@@ -424,7 +432,7 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
                 else:  # pool
                     h = _max_pool_ceil(h)
                 if name in tapped:
-                    taps[name] = h.astype(jnp.float32)
+                    taps[name] = h.astype(tap_dtype or jnp.float32)
             return h, tuple(taps[n] for n in tapped)
 
         return tapped, segment
@@ -458,12 +466,14 @@ class VGG19Features:
     of the reference's CaffeModel (worker.py:32-106)."""
 
     def __init__(self, params, precision=jax.lax.Precision.HIGHEST,
-                 compute_dtype=jnp.float32, remat=False, block1_s2d=True):
+                 compute_dtype=jnp.float32, remat=False, block1_s2d=True,
+                 tap_dtype=None):
         self.params = params
         self.precision = precision
         self.compute_dtype = compute_dtype
         self.remat = remat
         self.block1_s2d = block1_s2d
+        self.tap_dtype = tap_dtype
 
     def layers(self):
         """All blob names, like CaffeModel.layers()."""
@@ -479,7 +489,8 @@ class VGG19Features:
         layers = tuple(layers) if layers is not None else BLOB_NAMES
         return extract_features(self.params, x, layers,
                                 self.precision, self.compute_dtype,
-                                self.remat, self.block1_s2d)
+                                self.remat, self.block1_s2d,
+                                self.tap_dtype)
 
     def features_and_vjp(self, x, layers):
         """Returns (features dict, vjp function). The vjp over injected
@@ -490,7 +501,8 @@ class VGG19Features:
         def f(x_):
             feats = extract_features(self.params, x_, layers,
                                      self.precision, self.compute_dtype,
-                                     self.remat, self.block1_s2d)
+                                     self.remat, self.block1_s2d,
+                                     self.tap_dtype)
             return tuple(feats[l] for l in layers)
 
         outs, vjp_fn = jax.vjp(f, x)

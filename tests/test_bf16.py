@@ -80,3 +80,46 @@ def test_remat_policies_track_plain():
                                    err_msg=str(policy))
         rms = np.sqrt(np.mean((img_r - img_p) ** 2))
         assert rms < 1.0, (policy, rms)
+
+
+def test_bf16_loss_feed_flags():
+    """The bf16 loss-feed experiment flags (objective.BF16_TAPS taps in
+    compute dtype; objective.STYLE_EINSUM reshape-free style contraction)
+    track the unflagged bf16 path closely, and are exact no-ops for
+    float32 parity mode. Process-level flags: they are read when the step
+    core is built, so the test clears the build cache around each arm."""
+    from style_transfer2_tpu.engine import objective
+    from style_transfer2_tpu.engine.steps import build_step_core
+
+    def run_with(precision, **flags):
+        for k, v in flags.items():
+            setattr(objective, k, v)
+        build_step_core.cache_clear()
+        try:
+            return _run(precision, 'lbfgs')
+        finally:
+            for k in flags:
+                setattr(objective, k, False)
+            build_step_core.cache_clear()
+
+    img32, traces32 = run_with('float32')
+    img16, traces16 = run_with('bfloat16')
+    for flags in ({'BF16_TAPS': True}, {'STYLE_EINSUM': True},
+                  {'BF16_TAPS': True, 'STYLE_EINSUM': True}):
+        # float32: parity mode is untouched, bit-exact.
+        img, traces = run_with('float32', **flags)
+        np.testing.assert_array_equal(img, img32, err_msg=str(flags))
+        for t, t32 in zip(traces, traces32):
+            for key in t32:
+                if key in ('time', 'fevals'):
+                    continue
+                np.testing.assert_array_equal(t[key], t32[key],
+                                              err_msg=str(flags))
+        # bfloat16: stays in-family with the unflagged bf16 trajectory
+        # (flag-induced deviations are of the same order as bf16 noise).
+        img, traces = run_with('bfloat16', **flags)
+        assert np.isfinite(img).all()
+        for step, (t, t16) in enumerate(zip(traces, traces16)):
+            rtol = 0.1 if step == 0 else 0.75
+            np.testing.assert_allclose(t['loss'], t16['loss'], rtol=rtol,
+                                       err_msg='%s@%d' % (flags, step))

@@ -59,3 +59,25 @@ def test_resize_shapes_and_dc_preservation(rng):
     down = resize_nhwc(x, (7, 9), 'bilinear')
     assert down.shape == (1, 7, 9, 3)
     np.testing.assert_allclose(np.asarray(down), 5.0, rtol=1e-5)
+
+
+def test_tv_norm_s2d_matches_full_res():
+    """tv_norm_s2d on the s2d form equals tv_norm on the full-res image:
+    the norm to float tolerance, the gradient bit-exactly (after mapping
+    back with depth-to-space)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from style_transfer2_tpu.ops.losses import tv_norm, tv_norm_s2d
+    from style_transfer2_tpu.models.vgg19 import (_space_to_depth,
+                                                  _depth_to_space)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 8, 12, 3)).astype(np.float32))
+    y = _space_to_depth(x)
+    for beta in (2.0, 1.5, 6.0):
+        n_ref, g_ref = tv_norm(x, beta)
+        n_s2d, g_s2d = tv_norm_s2d(y, 3, beta)
+        np.testing.assert_allclose(np.asarray(n_s2d), np.asarray(n_ref),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(_depth_to_space(g_s2d, 3)), np.asarray(g_ref))

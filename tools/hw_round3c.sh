@@ -50,4 +50,17 @@ run feed_both_1024 timeout 3600 python tools/measure_step.py --size 1024 \
 run resize_cached timeout 3600 python tools/measure_serving.py \
     --size 300 --resize-to 512 --warm-seconds 20
 
+# 4. The best no-remat high-res points on the shipped defaults (slice)
+#    with the feed flags — the round's final high-res numbers.
+run feed_noremat_1024 timeout 3600 python tools/measure_step.py \
+    --size 1024 --bf16-taps --style-einsum
+run feed_noremat_2048 timeout 3600 python tools/measure_step.py \
+    --size 2048 --chunk 20 --bf16-taps --style-einsum
+
+# 5. Envelope extension attempt: 3072px OOMed under both remat policies
+#    (RESOURCE_EXHAUSTED); BF16_TAPS halves the biggest resident taps
+#    (conv1_1's s2d tap is 1.8 GB in f32 at 3072) — one shot at fitting.
+run fit_3072_feed timeout 3600 python tools/measure_step.py \
+    --size 3072 --remat block --chunk 10 --bf16-taps --style-einsum
+
 echo "done; results in $OUT" >&2

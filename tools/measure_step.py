@@ -109,6 +109,11 @@ def main(argv=None):
                    default='auto')
     p.add_argument('--s2d-transform', choices=('transpose', 'slice'),
                    default=None, help='override vgg19.S2D_TRANSFORM')
+    p.add_argument('--bf16-taps', action='store_true',
+                   help='objective.BF16_TAPS: taps in compute dtype')
+    p.add_argument('--style-einsum', action='store_true',
+                   help='objective.STYLE_EINSUM: reshape-free style '
+                        'contraction')
     p.add_argument('--platform', default='')
     p.add_argument('--keep-trace', default='',
                    help='keep the profiler trace at this directory')
@@ -123,6 +128,11 @@ def main(argv=None):
     from style_transfer2_tpu.models import vgg19
     if args.s2d_transform:
         vgg19.S2D_TRANSFORM = args.s2d_transform
+    from style_transfer2_tpu.engine import objective as _objective
+    if args.bf16_taps:
+        _objective.BF16_TAPS = True
+    if args.style_einsum:
+        _objective.STYLE_EINSUM = True
 
     import numpy as np
     from PIL import Image
@@ -212,6 +222,7 @@ def main(argv=None):
         'chunk': args.chunk, 'remat': args.remat, 'mesh': args.mesh,
         'block1_s2d': args.block1_s2d, 'pallas': args.pallas,
         's2d_transform': args.s2d_transform or vgg19.S2D_TRANSFORM,
+        'bf16_taps': args.bf16_taps, 'style_einsum': args.style_einsum,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
