@@ -41,7 +41,10 @@ WEIGHT_EPS = 1e-15
 # BF16_TAPS: feature taps stay in the compute dtype (the features are
 # bf16 upstream anyway, so the f32 tap cast adds no information while
 # doubling tap + Gram-feed + cotangent HBM traffic); loss scalars, norms
-# and the trace stay float32.
+# and the trace stay float32. Hardware verdict (v5e, on-device spans):
+# OFF — slightly SLOWER alone at 512px (4.95 vs 4.75 ms/step) and adds
+# nothing over STYLE_EINSUM at 1024/2048 (22.45/105.0 ms either way);
+# XLA already fuses the tap casts it was meant to remove.
 BF16_TAPS = False
 # STYLE_EINSUM: express Gram + style half-gradient as reshape-free
 # contractions over the N-D tap so XLA picks the matmul output layout
@@ -49,7 +52,10 @@ BF16_TAPS = False
 # layout-flip copy per style layer: 0.54 ms/step at 1024px, 1.9 at 2048).
 # bf16 (speed) mode only: the contraction order differs from the
 # reference's (hw,c)@(c,c) dot, which would perturb float32 parity.
-STYLE_EINSUM = False
+# Hardware verdict: ON — 4.64 vs 4.75 ms/step at 512px, 22.45 vs 25.2
+# at 1024 no-remat, 105.0 vs 117.9 at 2048 no-remat (v5e bf16; equal
+# or better everywhere measured).
+STYLE_EINSUM = True
 
 LOSS_NAMES = ('content', 'style', 'deepdream')
 SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')

@@ -252,6 +252,18 @@ def _s2d_kernel(w):
 # copies both directions: ~13 ms/step at 2048). Default: slice.
 S2D_TRANSFORM = 'slice'
 
+# How pool1 is computed in the space-to-depth domain (an elementwise max
+# over the 4 sub-pixel channel blocks), A/B-measurable:
+# 'reshape' — 5-D reshape + max(axis=3). Its vjp materializes eq-mask /
+#             tie-count intermediates whose layouts the round-3 1024px
+#             trace shows flipping H/W order vs the conv outputs
+#             (vgg19.py:404/:357 copies, ~0.9 ms/step at 1024).
+# 'slice'   — pairwise jnp.maximum over 4 channel slices: stays 4-D, the
+#             vjp is fusable selects. Gradient routing differs from
+#             'reshape' only on exact positive ties (measure-zero);
+#             all-zero ReLU ties still split g/4 both ways.
+S2D_POOL = 'reshape'
+
 
 def _space_to_depth(x):
     """(n, H, W, c) -> (n, H/2, W/2, 4*c), sub-pixel-major channel blocks
@@ -401,7 +413,13 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
             for name in b1_names:
                 if name == 'pool1':
                     nb, h2, w2, c4 = h.shape
-                    h = h.reshape(nb, h2, w2, 4, c4 // 4).max(axis=3)
+                    c = c4 // 4
+                    if S2D_POOL == 'slice':
+                        h = jnp.maximum(
+                            jnp.maximum(h[..., :c], h[..., c:2 * c]),
+                            jnp.maximum(h[..., 2 * c:3 * c], h[..., 3 * c:]))
+                    else:
+                        h = h.reshape(nb, h2, w2, 4, c).max(axis=3)
                 else:
                     p = params[name]
                     h = s2d_conv_block(h, p['w'].astype(compute_dtype),

@@ -6,7 +6,14 @@ Reference semantics (optimizers.py:49-125) under XLA's static-shape rules:
     stacked CIRCULAR buffers in HBM — a write cursor (`pos`) plus a valid
     count replace the reference's Python list append/pop, so storing a pair
     writes ONE slice instead of rolling the whole history (the buffers are
-    n_corr x image-sized; rolls would move ~100 MB per step at 512px);
+    n_corr x image-sized; rolls would move ~100 MB per step at 512px).
+    The buffers are stored FLAT, (n_corr, x.size): with the image's 4-D
+    shape appended, XLA's layout assignment picked conflicting tilings
+    for the update-slice writer and the two-loop reader and inserted a
+    full-history copy into the scan carry every step (trace-measured
+    0.34 ms/step at 1024px, T(4,128) vs T(8,128)); a flat 2-D buffer
+    leaves only one sensible layout. The two-loop math is unchanged —
+    every dot already ran on raveled vectors;
   * a candidate pair is rejected when s.y <= 1e-10 (optimizers.py:82-83);
   * with an empty history the direction is RMS-normalized:
     p /= sqrt(p.p / p.size) (optimizers.py:100-102); otherwise scaled by
@@ -41,8 +48,8 @@ def init(x, n_corr=N_CORR_DEFAULT):
         'x': x,
         'loss': jnp.float32(0.0),
         'grad': jnp.zeros_like(x),
-        'sk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
-        'yk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
+        'sk': jnp.zeros((n_corr, x.size), jnp.float32),
+        'yk': jnp.zeros((n_corr, x.size), jnp.float32),
         'syk': jnp.zeros((n_corr,), jnp.float32),
         'count': jnp.int32(0),
         'pos': jnp.int32(0),  # next write slot (circular)
@@ -61,7 +68,8 @@ def initial_eval(state, opfunc):
 
 def inv_hv(state, p):
     """Two-loop recursion over the masked circular buffer
-    (optimizers.py:89-108)."""
+    (optimizers.py:89-108). Works on (and returns) the FLAT vector."""
+    p = p.ravel()
     sk, yk, syk = state['sk'], state['yk'], state['syk']
     count, pos = state['count'], state['pos']
     n_corr = sk.shape[0]
@@ -107,6 +115,7 @@ def store_curvature_pair(state, s, y):
     """Appends (s, y, s.y) at the write cursor if s.y > 1e-10
     (optimizers.py:79-87) — one slice write, no roll. Returns
     (sk, yk, syk, count, pos)."""
+    s, y = s.ravel(), y.ravel()
     sy = _vdot(s, y)
     accept = sy > SY_MIN
     n_corr = state['sk'].shape[0]
@@ -129,7 +138,7 @@ def step(state, opfunc, step_size):
     Newton direction, evaluate, store the new curvature pair. The (loss,
     grad) cache must be primed (initial_eval) first."""
     s = -step_size * inv_hv(state, state['grad'])
-    x_new = state['x'] + s
+    x_new = state['x'] + s.reshape(state['x'].shape)
 
     loss, grad, aux = opfunc(x_new)
     y = grad - state['grad']

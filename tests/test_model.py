@@ -286,6 +286,34 @@ def test_s2d_transform_forms_agree(rng, monkeypatch):
     np.testing.assert_array_equal(back, np.asarray(x))
 
 
+def test_s2d_pool_forms_agree(rng, monkeypatch):
+    """The 'slice' (pairwise maximum over channel blocks) and 'reshape'
+    (5-D max) forms of the s2d-domain pool1 agree in values and input
+    gradient (exact positive ties are measure-zero; all-zero ReLU ties
+    split g/4 under both forms)."""
+    from style_transfer2_tpu.models import vgg19
+    params = random_params(0)
+    x = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32) * 40)
+    layers = ('pool1', 'conv2_1')
+    results = {}
+    for form in ('reshape', 'slice'):
+        monkeypatch.setattr(vgg19, 'BLOCK1_S2D', 'always')
+        monkeypatch.setattr(vgg19, 'S2D_POOL', form)
+        jax.clear_caches()
+        model = vgg19.VGG19Features(params)
+        feats, vjp = model.features_and_vjp(x, layers)
+        diffs = {l: jnp.asarray(np.ones(feats[l].shape, np.float32))
+                 for l in layers}
+        results[form] = ({l: np.asarray(feats[l]) for l in layers},
+                         np.asarray(vjp(diffs)))
+    jax.clear_caches()
+    for l in layers:
+        np.testing.assert_allclose(results['slice'][0][l],
+                                   results['reshape'][0][l], rtol=1e-6)
+    np.testing.assert_allclose(results['slice'][1], results['reshape'][1],
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize('policy', [True, 'block'])
 def test_remat_matches_plain_bf16_s2d(rng, policy):
     """remat in bf16 at an even size (the high-res production combo, which

@@ -109,6 +109,8 @@ def main(argv=None):
                    default='auto')
     p.add_argument('--s2d-transform', choices=('transpose', 'slice'),
                    default=None, help='override vgg19.S2D_TRANSFORM')
+    p.add_argument('--s2d-pool', choices=('reshape', 'slice'),
+                   default=None, help='override vgg19.S2D_POOL')
     p.add_argument('--bf16-taps', action='store_true',
                    help='objective.BF16_TAPS: taps in compute dtype')
     p.add_argument('--style-einsum', action='store_true',
@@ -128,6 +130,8 @@ def main(argv=None):
     from style_transfer2_tpu.models import vgg19
     if args.s2d_transform:
         vgg19.S2D_TRANSFORM = args.s2d_transform
+    if args.s2d_pool:
+        vgg19.S2D_POOL = args.s2d_pool
     from style_transfer2_tpu.engine import objective as _objective
     if args.bf16_taps:
         _objective.BF16_TAPS = True
@@ -222,6 +226,7 @@ def main(argv=None):
         'chunk': args.chunk, 'remat': args.remat, 'mesh': args.mesh,
         'block1_s2d': args.block1_s2d, 'pallas': args.pallas,
         's2d_transform': args.s2d_transform or vgg19.S2D_TRANSFORM,
+        's2d_pool': args.s2d_pool or vgg19.S2D_POOL,
         'bf16_taps': args.bf16_taps, 'style_einsum': args.style_einsum,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
