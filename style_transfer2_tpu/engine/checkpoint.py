@@ -77,13 +77,16 @@ def load_checkpoint(st, path):
         for key in ('g1_items', 'g2_items', 't', 'count', 'pos'):
             if key in st.opt_state:
                 st.opt_state[key] = jnp.int32(st.opt_state[key])
-        # Migration: pre-flat checkpoints stored the L-BFGS history
-        # with the image shape appended; the buffers are flat now
-        # (optim/lbfgs.py init docstring).
-        for key in ('sk', 'yk'):
-            if key in st.opt_state and st.opt_state[key].ndim > 2:
-                st.opt_state[key] = st.opt_state[key].reshape(
-                    st.opt_state[key].shape[0], -1)
+        # Migration: checkpoints from the short-lived flat-history
+        # experiment stored the L-BFGS buffers as (n_corr, N); the
+        # buffers are (n_corr,) + x.shape (optim/lbfgs.py init
+        # docstring — the flat layout regressed 26-40% on hardware).
+        if 'x' in st.opt_state:
+            x_shape = st.opt_state['x'].shape
+            for key in ('sk', 'yk'):
+                if key in st.opt_state and st.opt_state[key].ndim == 2:
+                    st.opt_state[key] = st.opt_state[key].reshape(
+                        (st.opt_state[key].shape[0],) + x_shape)
     else:
         st.opt_state = None
     st._input = arr(arrays['input']) if 'input' in arrays else None

@@ -7,13 +7,15 @@ Reference semantics (optimizers.py:49-125) under XLA's static-shape rules:
     count replace the reference's Python list append/pop, so storing a pair
     writes ONE slice instead of rolling the whole history (the buffers are
     n_corr x image-sized; rolls would move ~100 MB per step at 512px).
-    The buffers are stored FLAT, (n_corr, x.size): with the image's 4-D
-    shape appended, XLA's layout assignment picked conflicting tilings
-    for the update-slice writer and the two-loop reader and inserted a
-    full-history copy into the scan carry every step (trace-measured
-    0.34 ms/step at 1024px, T(4,128) vs T(8,128)); a flat 2-D buffer
-    leaves only one sensible layout. The two-loop math is unchanged —
-    every dot already ran on raveled vectors;
+    The buffers keep the image's shape appended, (n_corr,) + x.shape.
+    A flat (n_corr, x.size) layout was tried to kill a 0.34 ms/step
+    scan-carry relayout copy at 1024px and REGRESSED 26-40% on hardware
+    (v5e bf16: 4.64 -> 6.52 ms/step at 512px, 22.45 -> 29.8 at 1024,
+    105 -> 132 at 2048): the two-loop's dynamic slices over flat buffers
+    stopped fusing (constant_dynamic-slice / dynamic-slice_multiply
+    fusions went 0.08 -> 4.1 ms/step at 1024) and the ravel/reshape
+    boundary forced full-image relayouts each step. The shaped buffers'
+    0.34 ms copy is the far cheaper side of that trade;
   * a candidate pair is rejected when s.y <= 1e-10 (optimizers.py:82-83);
   * with an empty history the direction is RMS-normalized:
     p /= sqrt(p.p / p.size) (optimizers.py:100-102); otherwise scaled by
@@ -48,8 +50,8 @@ def init(x, n_corr=N_CORR_DEFAULT):
         'x': x,
         'loss': jnp.float32(0.0),
         'grad': jnp.zeros_like(x),
-        'sk': jnp.zeros((n_corr, x.size), jnp.float32),
-        'yk': jnp.zeros((n_corr, x.size), jnp.float32),
+        'sk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
+        'yk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
         'syk': jnp.zeros((n_corr,), jnp.float32),
         'count': jnp.int32(0),
         'pos': jnp.int32(0),  # next write slot (circular)
@@ -68,8 +70,7 @@ def initial_eval(state, opfunc):
 
 def inv_hv(state, p):
     """Two-loop recursion over the masked circular buffer
-    (optimizers.py:89-108). Works on (and returns) the FLAT vector."""
-    p = p.ravel()
+    (optimizers.py:89-108)."""
     sk, yk, syk = state['sk'], state['yk'], state['syk']
     count, pos = state['count'], state['pos']
     n_corr = sk.shape[0]
@@ -115,7 +116,6 @@ def store_curvature_pair(state, s, y):
     """Appends (s, y, s.y) at the write cursor if s.y > 1e-10
     (optimizers.py:79-87) — one slice write, no roll. Returns
     (sk, yk, syk, count, pos)."""
-    s, y = s.ravel(), y.ravel()
     sy = _vdot(s, y)
     accept = sy > SY_MIN
     n_corr = state['sk'].shape[0]
@@ -138,7 +138,7 @@ def step(state, opfunc, step_size):
     Newton direction, evaluate, store the new curvature pair. The (loss,
     grad) cache must be primed (initial_eval) first."""
     s = -step_size * inv_hv(state, state['grad'])
-    x_new = state['x'] + s.reshape(state['x'].shape)
+    x_new = state['x'] + s
 
     loss, grad, aux = opfunc(x_new)
     y = grad - state['grad']

@@ -44,13 +44,10 @@ class SpatialPlacement:
 
     Array-rank conventions in the engine:
       4-D (1, H, W, C)          — iterate / content / feature maps / moments
-      2-D (n_corr, N)           — L-BFGS history buffers, stored FLAT
-                                  (optim/lbfgs.py): sharded on the flat
-                                  axis, which aligns exactly with the
-                                  iterate's H sharding (H is the major
-                                  raveled dim, so equal contiguous flat
-                                  blocks ARE the H blocks)
-      5-D (n_corr, 1, H, W, C)  — pre-flat history (checkpoint migration)
+      5-D (n_corr, 1, H, W, C)  — L-BFGS history buffers (sharded on the
+                                  same H axis as the iterate; a flat
+                                  (n_corr, N) layout was tried and
+                                  regressed on hardware — optim/lbfgs.py)
       2-D (C, C)                — Gram matrices (replicated: placed via
                                   replicated(), never state())
       scalars                   — replicated
@@ -91,11 +88,6 @@ class SpatialPlacement:
             spec = P(None, None, self.axis, None, None)
         elif ndim == 5 and shape[3] % n_shards == 0:
             spec = P(None, None, None, self.axis, None)
-        elif ndim == 2 and shape[1] % n_shards == 0:
-            # Flat L-BFGS history (n_corr, N = 1*H*W*C): any H or W
-            # sharding of the iterate divides N too, so the history stays
-            # distributed even when H itself does not divide.
-            spec = P(None, self.axis)
         else:
             self._note_replication(shape)
             spec = P()
@@ -106,7 +98,7 @@ class SpatialPlacement:
         a 3840px job at an awkward aspect ratio would run unsharded and
         OOM with no hint why. Make it loud (once per shape)."""
         import numpy as np
-        if len(shape) < 2 or shape in self._warned_shapes:
+        if len(shape) < 4 or shape in self._warned_shapes:
             return
         if int(np.prod(shape)) * 4 < _WARN_BYTES:
             return

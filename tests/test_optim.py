@@ -107,10 +107,8 @@ def test_lbfgs_first_step_rms_scaled(rng):
     state = lbfgs.init(x0)
     state, _, _ = lbfgs.initial_eval(state, jnp_f)
     grad0 = np.asarray(state['grad'])
-    # inv_hv works on (and returns) the FLAT vector — the history
-    # buffers are stored flat so the scan carry has one layout.
     d = np.asarray(lbfgs.inv_hv(state, state['grad']))
-    expected = (grad0 / np.sqrt(np.mean(grad0 ** 2))).ravel()
+    expected = grad0 / np.sqrt(np.mean(grad0 ** 2))
     np.testing.assert_allclose(d, expected, rtol=1e-5)
 
 

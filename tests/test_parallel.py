@@ -80,12 +80,12 @@ def test_spatial_sharding_actually_shards():
     x = placement.image(jnp.zeros((1, 64, 64, 3)))
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert shard_shapes == {(1, 16, 64, 3)}  # 64 rows over 4 'space' devices
-    # The flat L-BFGS history (n_corr, N) shards on the flat axis — the
-    # contiguous flat blocks coincide with the iterate's H blocks, and a
-    # replicated history would be 10 image-sized buffers per device.
-    hist = placement.state({'sk': jnp.zeros((10, 64 * 64 * 3))})['sk']
+    # The shaped L-BFGS history (n_corr, 1, H, W, C) shards on the same
+    # H axis as the iterate — a replicated history would be 10
+    # image-sized buffers per device.
+    hist = placement.state({'sk': jnp.zeros((10, 1, 64, 64, 3))})['sk']
     shard_shapes = {s.data.shape for s in hist.addressable_shards}
-    assert shard_shapes == {(10, 64 * 64 * 3 // 4)}
+    assert shard_shapes == {(10, 1, 16, 64, 3)}
 
 
 def _lane_inputs(st, spec):
