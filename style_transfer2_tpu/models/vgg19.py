@@ -262,7 +262,10 @@ S2D_TRANSFORM = 'slice'
 #             vjp is fusable selects. Gradient routing differs from
 #             'reshape' only on exact positive ties (measure-zero);
 #             all-zero ReLU ties still split g/4 both ways.
-S2D_POOL = 'reshape'
+# Hardware verdict (v5e bf16, on-device spans): 'slice' wins 7-8% at
+# every size — 4.31 vs 4.64 ms/step at 512px, 20.9 vs 22.4 at 1024,
+# 96.4 vs 105.0 at 2048 (tools/hw_round3_results.jsonl part 5).
+S2D_POOL = 'slice'
 
 
 def _space_to_depth(x):
