@@ -137,6 +137,62 @@ def test_checkpoint_roundtrip_preserves_state(tmp_path):
     np.testing.assert_allclose(img_a, img_b, rtol=1e-5, atol=1e-4)
 
 
+def test_checkpoint_migrates_flat_lbfgs_history(tmp_path):
+    """Checkpoints written during the short-lived flat-history window
+    stored the L-BFGS buffers as (n_corr, N); load_checkpoint reshapes
+    them back to (n_corr,) + x.shape (the flat layout regressed 26-40%
+    on hardware and was reverted — docs/ROUND3.md part 4) and the
+    restored session must track the original exactly."""
+    import jax.numpy as jnp
+
+    from style_transfer2_tpu.engine import StyleTransfer
+    from style_transfer2_tpu.engine.checkpoint import (load_checkpoint,
+                                                       save_checkpoint)
+    from style_transfer2_tpu.models import random_params
+
+    weights = {'content': {'conv2_2': 0.1},
+               'style': {'conv1_1': 1.0, 'conv2_1': 1.0}, 'deepdream': {}}
+    scalars = {'p': 50.0, 'p_power': 6.0, 'tv': 5.0, 'tv_power': 2.0}
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+            for _ in range(3)]
+    a = StyleTransfer(random_params(1))
+    a.set_weights(weights, scalars)
+    a.set_optimizer('lbfgs')
+    a.set_step_size(1.0)
+    a.set_content(imgs[0])
+    a.set_style(imgs[1])
+    a.set_input(imgs[2])
+    assert a.start()
+    for _ in range(3):
+        a.step()
+
+    # Simulate a flat-window checkpoint: flatten the history on disk only.
+    shaped = {k: a.opt_state[k] for k in ('sk', 'yk')}
+    a.opt_state = dict(a.opt_state)
+    for k in ('sk', 'yk'):
+        a.opt_state[k] = jnp.reshape(shaped[k], (shaped[k].shape[0], -1))
+    save_checkpoint(a, tmp_path / 'ck')
+    a.opt_state.update(shaped)
+
+    b = StyleTransfer(random_params(1))
+    load_checkpoint(b, tmp_path / 'ck')
+    b.is_starting = True
+    b._start()
+    for k in ('sk', 'yk'):
+        assert b.opt_state[k].shape == shaped[k].shape
+        np.testing.assert_array_equal(np.asarray(b.opt_state[k]),
+                                      np.asarray(shaped[k]))
+    img_a, trace_a = a.step()
+    img_b, trace_b = b.step()
+    for key in trace_a:
+        if key in ('time',):
+            continue
+        np.testing.assert_allclose(trace_a[key], trace_b[key],
+                                   rtol=1e-5, err_msg=key)
+    np.testing.assert_allclose(img_a, img_b, rtol=1e-5, atol=1e-4)
+
+
 def test_cli_batch_mode(tmp_path):
     """--batch styles a directory as lanes of one vmapped program: images
     group by fitted grid (no distortion), waves bounded by --lanes, one
