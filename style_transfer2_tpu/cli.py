@@ -89,9 +89,11 @@ def parse_args(argv=None):
                    help='resume from a checkpoint directory')
     p.add_argument('--save-every', type=int, default=0,
                    help='write the in-progress image every N iterations')
-    # Round-3 hardware: remat is 22-23% SLOWER at 1024/2048px bf16 (the
-    # activations fit 16 GB HBM through ~2560px) — reach for it only at
-    # the largest single-chip sizes or under float32.
+    # Round-3 hardware: remat is 22-30% SLOWER at 1024/2048/2560px bf16
+    # (activations fit 16 GB HBM through 2560px — the whole bf16
+    # single-chip envelope, since 3072px OOMs even WITH block remat).
+    # In bf16 remat has no winning single-chip regime; reach for it
+    # under float32 at high res or when sharding leaves a tight shard.
     p.add_argument('--remat', nargs='?', const='conv', default=False,
                    choices=('conv', 'block'),
                    help='rematerialize in the backward pass (less memory, '
