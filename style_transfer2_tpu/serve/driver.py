@@ -164,15 +164,19 @@ class AdaptiveTuner:
     def note_chunk_interval(self, k, interval):
         """Consecutive PIPELINED collections `interval` apart. Pure chunk
         compute only if the device stayed busy across the gap, so accept
-        the sample only when it cannot raise step_s by more than 50%:
-        genuine drift tracks, an idle-device (RTT-dominated) interval is
-        rejected, and persistent rejection triggers recalibration."""
+        the sample only inside a symmetric plausibility band (within 1.5x
+        of step_s either way): genuine drift tracks; an idle-device
+        (RTT-dominated) interval cannot inflate the estimate; a spuriously
+        SHORT interval (back-to-back collects after a queue stall) cannot
+        deflate it and balloon planned chunks past the latency target.
+        Persistent rejection on either side triggers recalibration."""
         if self._first_run(k):
             return
         if k <= 0 or interval <= 0 or self._phase != 'run':
             return
         cand = interval / k
-        if self.step_s is not None and cand > 1.5 * self.step_s:
+        if self.step_s is not None and not (
+                self.step_s / 1.5 <= cand <= 1.5 * self.step_s):
             self._rejects += 1
             if self._rejects >= self.MAX_INTERVAL_REJECTS:
                 self._phase = 'chunk'   # heal via one unpipelined chunk

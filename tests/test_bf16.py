@@ -91,15 +91,21 @@ def test_bf16_loss_feed_flags():
     from style_transfer2_tpu.engine import objective
     from style_transfer2_tpu.engine.steps import build_step_core
 
+    FLAG_NAMES = ('BF16_TAPS', 'STYLE_EINSUM')
+    orig = {k: getattr(objective, k) for k in FLAG_NAMES}
+
     def run_with(precision, **flags):
-        for k, v in flags.items():
-            setattr(objective, k, v)
+        # Every arm pins BOTH flags explicitly (unset = False) so each arm
+        # tests exactly the named delta regardless of shipped defaults, and
+        # the originals are restored afterwards (STYLE_EINSUM ships True).
+        for k in FLAG_NAMES:
+            setattr(objective, k, flags.get(k, False))
         build_step_core.cache_clear()
         try:
             return _run(precision, 'lbfgs')
         finally:
-            for k in flags:
-                setattr(objective, k, False)
+            for k, v in orig.items():
+                setattr(objective, k, v)
             build_step_core.cache_clear()
 
     img32, traces32 = run_with('float32')

@@ -252,6 +252,19 @@ def test_adaptive_tuner_rtt_never_contaminates_step():
     t.note_chunk_interval(plan0[0], plan0[0] * 0.006)
     assert t.step_s > before
 
+    # Symmetric band (ADVICE r3): a spuriously SHORT interval — e.g.
+    # back-to-back collects after a queue stall — must not drag step_s
+    # down and balloon planned chunks past the latency target.
+    before = t.step_s
+    plan_before = t.plan(30, 2)
+    t.note_chunk_interval(plan0[0], plan0[0] * before / 10.0)
+    assert t.step_s == before            # rejected, not averaged
+    assert t.plan(30, 2) == plan_before
+    # ... and short-side rejections count toward the self-heal too.
+    for _ in range(AdaptiveTuner.MAX_INTERVAL_REJECTS):
+        t.note_chunk_interval(plan0[0], plan0[0] * before / 10.0)
+    assert t.plan(30, 2) == (30, 1)      # recalibration chunk
+
 
 def test_driver_latency_target_tunes_live():
     """A driver with adaptive_latency_target measures step time from its

@@ -111,9 +111,14 @@ def main(argv=None):
                    default=None, help='override vgg19.S2D_TRANSFORM')
     p.add_argument('--s2d-pool', choices=('reshape', 'slice'),
                    default=None, help='override vgg19.S2D_POOL')
-    p.add_argument('--bf16-taps', action='store_true',
+    # Tri-state flag overrides (--x / --no-x / absent = module default):
+    # both modules ship non-False defaults now, so a plain store_true could
+    # never measure the OFF arm and would mislabel the default run.
+    p.add_argument('--bf16-taps', action=argparse.BooleanOptionalAction,
+                   default=None,
                    help='objective.BF16_TAPS: taps in compute dtype')
-    p.add_argument('--style-einsum', action='store_true',
+    p.add_argument('--style-einsum', action=argparse.BooleanOptionalAction,
+                   default=None,
                    help='objective.STYLE_EINSUM: reshape-free style '
                         'contraction')
     p.add_argument('--platform', default='')
@@ -133,10 +138,10 @@ def main(argv=None):
     if args.s2d_pool:
         vgg19.S2D_POOL = args.s2d_pool
     from style_transfer2_tpu.engine import objective as _objective
-    if args.bf16_taps:
-        _objective.BF16_TAPS = True
-    if args.style_einsum:
-        _objective.STYLE_EINSUM = True
+    if args.bf16_taps is not None:
+        _objective.BF16_TAPS = args.bf16_taps
+    if args.style_einsum is not None:
+        _objective.STYLE_EINSUM = args.style_einsum
 
     import numpy as np
     from PIL import Image
@@ -227,7 +232,10 @@ def main(argv=None):
         'block1_s2d': args.block1_s2d, 'pallas': args.pallas,
         's2d_transform': args.s2d_transform or vgg19.S2D_TRANSFORM,
         's2d_pool': args.s2d_pool or vgg19.S2D_POOL,
-        'bf16_taps': args.bf16_taps, 'style_einsum': args.style_einsum,
+        # Effective module values (post-override), not the raw CLI args —
+        # the JSON must describe what actually ran.
+        'bf16_taps': _objective.BF16_TAPS,
+        'style_einsum': _objective.STYLE_EINSUM,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
