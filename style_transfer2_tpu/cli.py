@@ -73,8 +73,12 @@ def parse_args(argv=None):
     p.add_argument('--init', choices=('random', 'content'), default='random',
                    help='initial iterate')
     p.add_argument('--seed', type=int, default=0)
-    p.add_argument('--precision', choices=('float32', 'bfloat16'),
-                   default='float32')
+    p.add_argument('--precision',
+                   choices=('float32', 'float32_fast', 'bfloat16'),
+                   default='float32',
+                   help='float32 = reference-exact parity; float32_fast = '
+                        'f32 state with single-pass MXU matmuls; bfloat16 = '
+                        'the speed mode')
     p.add_argument('--platform', default='',
                    help="override the JAX platform (e.g. 'cpu')")
     p.add_argument('--mesh', default='',

@@ -27,6 +27,7 @@ from ..parallel.batch import (build_masked_batched_scan_fn,
 from ..utils.tracing import Trace
 from .objective import (
     ObjectiveSpec,
+    content_store_dtype,
     scalars_to_arrays,
     weights_to_arrays,
 )
@@ -75,8 +76,10 @@ class BatchedStyleTransfer:
         lane_state = (mod.init(zero_img, n_corr) if optimizer == 'lbfgs'
                       else mod.init(zero_img))
         feats = self.model.forward(zero_img)
+        self._content_dtype = content_store_dtype(compute_dtype)
         lane_inputs = {
-            'content_feats': {l: jnp.zeros_like(feats[l])
+            'content_feats': {l: jnp.zeros_like(feats[l],
+                                                dtype=self._content_dtype)
                               for l in self.spec.content_layers},
             'grams': {l: jnp.zeros((vgg19.layer_channels(l),) * 2,
                                    jnp.float32)
@@ -156,7 +159,8 @@ class BatchedStyleTransfer:
         feats = self.model.forward(content_x)
         style_feats = self.model.forward(style_x)
         lane_inputs = {
-            'content_feats': {l: feats[l] for l in self.spec.content_layers},
+            'content_feats': {l: feats[l].astype(self._content_dtype)
+                              for l in self.spec.content_layers},
             'grams': {l: gram_matrix(style_feats[l],
                                      channels=vgg19.layer_channels(l))
                       for l in self.spec.style_layers},

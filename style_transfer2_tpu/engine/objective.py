@@ -56,6 +56,23 @@ BF16_TAPS = False
 # at 1024 no-remat, 105.0 vs 117.9 at 2048 no-remat (v5e bf16; equal
 # or better everywhere measured).
 STYLE_EINSUM = True
+# BF16_FEED: the fully bf16-native loss feed (bf16 speed mode only).
+# Round-3 final traces still show the feature-tap cast's BACKWARD paying
+# a layout-flip copy on the content taps (vgg19.py tap cast, {2,3,1,0}->
+# {3,1,2,0}, 0.32 ms/step at 1024) — BF16_TAPS alone never removed it
+# because content features stayed float32, so `feat - content` promoted
+# the tap right back. BF16_FEED closes the loop: taps AND content
+# features stay in the compute dtype, every loss/RMS reduction is an
+# f32-ACCUMULATING contraction over bf16 operands (no materialized f32
+# tensors), per-branch trace RMS values come from scalar algebra
+# (rms(w*g/n) = |w|*rms(g)/n) instead of an extra pass over the gradient
+# tensor, and the injected cotangents are produced natively in bf16 in
+# the tap's own layout — the cast node, and its backward copy, cease to
+# exist. Implies taps in compute dtype; the style branch uses the
+# STYLE_EINSUM contraction with a bf16 gradient output. Default OFF
+# until the fresh-process hardware A/B at 512/1024/2048 (round-3 flip
+# discipline); tools/measure_step.py --bf16-feed is the arm.
+BF16_FEED = False
 
 LOSS_NAMES = ('content', 'style', 'deepdream')
 SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')
@@ -63,6 +80,15 @@ SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')
 
 def _rms(x):
     return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+def content_store_dtype(compute_dtype):
+    """Dtype the ENGINE should store content features in: the compute dtype
+    under BF16_FEED (so `feat - content` stays bf16 — see the flag comment),
+    float32 otherwise. Read at call time; the flag is process-level."""
+    if BF16_FEED and compute_dtype == jnp.bfloat16:
+        return compute_dtype
+    return jnp.float32
 
 
 @dataclass(frozen=True)
@@ -182,8 +208,15 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
 
     def objective(params, x, content_feats, grams, layer_weights, scalars,
                   norms_vals, norms_set, temporal_target=None):
-        tap_dtype = (compute_dtype if BF16_TAPS
+        bf16_feed = BF16_FEED and compute_dtype == jnp.bfloat16
+        tap_dtype = (compute_dtype if (BF16_TAPS or bf16_feed)
                      and compute_dtype == jnp.bfloat16 else None)
+
+        def f32_sumsq(t):
+            """sum(t^2) accumulated in float32 without materializing an f32
+            copy of t (the BF16_FEED reduction primitive)."""
+            return jnp.einsum('...,...->', t, t,
+                              preferred_element_type=jnp.float32)
         model = vgg19.VGG19Features(params, precision, compute_dtype,
                                     remat, block1_s2d, tap_dtype)
         feats, vjp = model.features_and_vjp(x, spec.layers)
@@ -206,19 +239,42 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
             feat = feats[layer]
             size = jnp.float32(np.prod(feat.shape))
             w = layer_weights[layer]
-            diff = jnp.zeros_like(feat, dtype=jnp.float32)
+            # Under BF16_FEED the per-layer cotangent accumulates natively
+            # in the tap dtype (terms are scalar multiples of bf16 tensors);
+            # otherwise in f32 with one cast at the end.
+            diff = jnp.zeros_like(feat,
+                                  dtype=feat.dtype if bf16_feed
+                                  else jnp.float32)
 
             if has_c:
                 cw = w[0]
-                c_diff = feat - content_feats[layer]
-                c_grad = (2.0 / size) * c_diff
-                cn = norm_of(layer + ':c', _rms(c_grad))
-                c_loss = cw * jnp.mean(jnp.square(c_diff)) / cn
-                trace.append(c_loss)
-                loss = loss + c_loss
-                term = cw * c_grad / cn
-                trace.append(_rms(term))
-                diff = diff + term
+                if bf16_feed:
+                    # feat - content stays bf16 (the engine stores content
+                    # features in the compute dtype under this flag; the
+                    # astype is a no-op then, a safety net otherwise), the
+                    # sum-of-squares accumulates f32, and the loss / both
+                    # RMS traces follow by scalar algebra — no f32 tensor,
+                    # no tap cast, no cast-backward copy.
+                    c_diff = feat - content_feats[layer].astype(feat.dtype)
+                    sq = f32_sumsq(c_diff)
+                    fresh = (2.0 / size) * jnp.sqrt(sq / size)  # rms(c_grad)
+                    cn = norm_of(layer + ':c', fresh)
+                    c_loss = cw * (sq / size) / cn
+                    trace.append(c_loss)
+                    loss = loss + c_loss
+                    scale = cw * (2.0 / size) / cn
+                    trace.append(jnp.abs(scale) * jnp.sqrt(sq / size))
+                    diff = diff + scale.astype(feat.dtype) * c_diff
+                else:
+                    c_diff = feat - content_feats[layer]
+                    c_grad = (2.0 / size) * c_diff
+                    cn = norm_of(layer + ':c', _rms(c_grad))
+                    c_loss = cw * jnp.mean(jnp.square(c_diff)) / cn
+                    trace.append(c_loss)
+                    loss = loss + c_loss
+                    term = cw * c_grad / cn
+                    trace.append(_rms(term))
+                    diff = diff + term
 
             if has_s:
                 sw = w[1]
@@ -227,7 +283,35 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
                 # needs rows of true-channel vectors, which any pixel
                 # permutation provides.
                 n = vgg19.layer_channels(layer)
-                if use_pallas and feat.shape[-1] == n:
+                if bf16_feed:
+                    # The STYLE_EINSUM contraction with the gradient matmul
+                    # emitted directly in the tap dtype (the MXU still
+                    # accumulates f32 internally). The unscaled product
+                    # s_raw only ever appears behind f32 scalars, so the
+                    # 2/(n^2*size), norm, and weight factors fold into ONE
+                    # bf16 scalar multiply, and both RMS traces follow by
+                    # scalar algebra from one f32-accumulated sum-of-squares.
+                    v = (feat if feat.shape[-1] == n
+                         else feat.reshape(*feat.shape[:-1], -1, n))
+                    gram = jnp.einsum(
+                        '...c,...d->cd', v, v, precision=precision,
+                        preferred_element_type=jnp.float32) / size
+                    gram_diff = gram - grams[layer]
+                    s_raw = jnp.einsum(
+                        '...c,cd->...d', v, gram_diff.astype(feat.dtype),
+                        precision=precision,
+                        preferred_element_type=feat.dtype)
+                    s_raw = s_raw.reshape(feat.shape)
+                    k = 2.0 / (jnp.float32(n * n) * size)
+                    rms_raw = jnp.sqrt(f32_sumsq(s_raw) / size)
+                    sn = norm_of(layer + ':s', k * rms_raw)
+                    s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
+                    trace.append(s_loss)
+                    loss = loss + s_loss
+                    scale = sw * k / sn
+                    trace.append(jnp.abs(scale) * rms_raw)
+                    diff = diff + scale.astype(feat.dtype) * s_raw
+                elif use_pallas and feat.shape[-1] == n:
                     # Fused Pallas kernel: Gram accumulation + G_diff +
                     # gradient matmul in one pass (ops/pallas).
                     from ..ops.pallas import fused_style_branch
@@ -263,24 +347,37 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
                                      preferred_element_type=jnp.float32)
                     s_grad = s_grad.reshape(feat.shape)
                     s_grad = s_grad * (2.0 / (jnp.float32(n * n) * size))
-                sn = norm_of(layer + ':s', _rms(s_grad))
-                s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
-                trace.append(s_loss)
-                loss = loss + s_loss
-                term = (sw / sn) * s_grad
-                trace.append(_rms(term))
-                diff = diff + term
+                if not bf16_feed:
+                    sn = norm_of(layer + ':s', _rms(s_grad))
+                    s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
+                    trace.append(s_loss)
+                    loss = loss + s_loss
+                    term = (sw / sn) * s_grad
+                    trace.append(_rms(term))
+                    diff = diff + term
 
             if has_d:
                 dw = w[2]
-                d_grad = (-2.0 / size) * feat
-                dn = norm_of(layer + ':d', _rms(d_grad))
-                d_loss = -dw * jnp.mean(jnp.square(feat)) / dn
-                trace.append(d_loss)
-                loss = loss + d_loss
-                term = dw * d_grad / dn
-                trace.append(_rms(term))
-                diff = diff + term
+                if bf16_feed:
+                    # d_grad = (-2/size)*feat: the same scalar-folded form.
+                    rms_feat = jnp.sqrt(f32_sumsq(feat) / size)
+                    fresh = (2.0 / size) * rms_feat
+                    dn = norm_of(layer + ':d', fresh)
+                    d_loss = -dw * jnp.square(rms_feat) / dn
+                    trace.append(d_loss)
+                    loss = loss + d_loss
+                    scale = dw * (-2.0 / size) / dn
+                    trace.append(jnp.abs(scale) * rms_feat)
+                    diff = diff + scale.astype(feat.dtype) * feat
+                else:
+                    d_grad = (-2.0 / size) * feat
+                    dn = norm_of(layer + ':d', _rms(d_grad))
+                    d_loss = -dw * jnp.mean(jnp.square(feat)) / dn
+                    trace.append(d_loss)
+                    loss = loss + d_loss
+                    term = dw * d_grad / dn
+                    trace.append(_rms(term))
+                    diff = diff + term
 
             # The cotangent enters the vjp in the tap dtype; the cast
             # fuses into the diff-accumulation epilogue (identity for

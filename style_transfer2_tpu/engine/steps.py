@@ -29,7 +29,14 @@ from ..optim import adam, lbfgs
 from .objective import make_objective
 
 _PRECISIONS = {
+    # Parity mode: HIGHEST runs f32 matmuls/convs via multi-pass bf16
+    # emulation on the MXU — reference-exact math, golden-tested.
     'float32': (jax.lax.Precision.HIGHEST, jnp.float32),
+    # Fast-f32 mode: f32 state, activations and HBM traffic, but matmul/conv
+    # inputs rounded to bf16 for single-pass MXU (XLA's DEFAULT for f32 on
+    # TPU). Golden tests exempt — a speed/quality point between parity f32
+    # and bf16 (VERDICT r3 next-round #8).
+    'float32_fast': (jax.lax.Precision.DEFAULT, jnp.float32),
     'bfloat16': (jax.lax.Precision.DEFAULT, jnp.bfloat16),
 }
 

@@ -255,13 +255,21 @@ class StyleTransfer:
 
     def _content_features(self, layers=None):
         """Computes content features for the given blob names (default: the
-        current objective's content layers)."""
+        current objective's content layers). Under the BF16_FEED loss feed
+        the features are STORED in the compute dtype — `feat - content`
+        must not promote the bf16 tap back to f32, or the tap-cast backward
+        copy the feed exists to remove reappears. One cast at
+        set_content time, not per step."""
         if layers is None:
             layers = self.spec().content_layers
         if not layers:
             return {}
-        return self._place_state(dict(self.model.forward(self.content,
-                                                         tuple(layers))))
+        feats = dict(self.model.forward(self.content, tuple(layers)))
+        from .objective import content_store_dtype
+        dtype = content_store_dtype(self.model.compute_dtype)
+        if dtype != jnp.float32:
+            feats = {l: f.astype(dtype) for l, f in feats.items()}
+        return self._place_state(feats)
 
     def set_style(self, image):
         image = self._place_image(vgg19.preprocess(image))

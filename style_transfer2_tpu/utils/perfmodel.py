@@ -56,7 +56,9 @@ CHIPS = {
                 hbm_gbs=1640e9, vmem_bytes=128 * 2 ** 20),
 }
 
-DTYPE_BYTES = {'float32': 4, 'bfloat16': 2}
+# float32_fast: f32 HBM traffic, but matmul inputs rounded to bf16 for
+# single-pass MXU (Precision.DEFAULT) — bf16 peak FLOPs with f32 bytes.
+DTYPE_BYTES = {'float32': 4, 'float32_fast': 4, 'bfloat16': 2}
 
 MXU_TILE = 128
 

@@ -123,7 +123,8 @@ def parse_args(argv=None):
     p.add_argument('--weights', default=None,
                    help='loss-weights YAML (initial_weights.yaml format)')
     p.add_argument('--model-weights', default='auto')
-    p.add_argument('--precision', choices=('float32', 'bfloat16'),
+    p.add_argument('--precision',
+                   choices=('float32', 'float32_fast', 'bfloat16'),
                    default='float32')
     p.add_argument('--platform', default='')
     p.add_argument('--steps-per-dispatch', type=int, default=20)

@@ -51,6 +51,68 @@ def test_bf16_tracks_f32():
         assert rms < 8.0, rms
 
 
+def test_bf16_feed_full_trace_tracks_bf16():
+    """BF16_FEED rewrites every loss branch (content/style/deepdream) as
+    scalar-folded bf16 contractions — EVERY trace key (losses, gradient
+    RMS values, total) must track the unflagged bf16 trajectory, and the
+    content-feature store dtype must follow the flag."""
+    import jax.numpy as jnp
+
+    from style_transfer2_tpu.engine import objective
+    from style_transfer2_tpu.engine.steps import build_step_core
+
+    orig = objective.BF16_FEED
+    weights = {'content': {'conv2_2': 0.1},
+               'style': {'conv1_1': 1.0, 'conv2_1': 1.0},
+               'deepdream': {'conv3_1': 0.05}}
+
+    def run(flag):
+        objective.BF16_FEED = flag
+        build_step_core.cache_clear()
+        try:
+            rng = np.random.RandomState(7)
+            st = StyleTransfer(random_params(5), precision='bfloat16')
+            st.set_weights(weights, SCALARS)
+            st.set_optimizer('lbfgs')
+            st.set_step_size(1.0)
+            st.set_content(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            st.set_style(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            st.set_input(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            assert st.start()
+            expected = (jnp.bfloat16 if flag else jnp.float32)
+            assert all(f.dtype == expected for f in st.features.values())
+            traces = [st.step()[1] for _ in range(3)]
+            return traces
+        finally:
+            objective.BF16_FEED = orig
+            build_step_core.cache_clear()
+
+    base = run(False)
+    feed = run(True)
+    for step, (tf, tb) in enumerate(zip(feed, base)):
+        rtol = 0.1 if step == 0 else 0.75
+        for key in tb:
+            if key in ('time', 'fevals'):
+                continue
+            np.testing.assert_allclose(tf[key], tb[key], rtol=rtol,
+                                       err_msg='%s@%d' % (key, step))
+
+
+def test_float32_fast_mode():
+    """float32_fast (DEFAULT matmul precision, f32 state) runs end-to-end
+    and tracks parity float32 — on the CPU backend the precisions coincide,
+    so agreement is tight; on TPU it is the measured speed/quality knob."""
+    img_fast, traces_fast = _run('float32_fast', 'lbfgs')
+    img32, traces32 = _run('float32', 'lbfgs')
+    for tf, t32 in zip(traces_fast, traces32):
+        for key in t32:
+            if key in ('time', 'fevals'):
+                continue
+            np.testing.assert_allclose(tf[key], t32[key], rtol=1e-4,
+                                       err_msg=key)
+    assert np.sqrt(np.mean((img_fast - img32) ** 2)) < 1.0
+
+
 def _run_remat(remat, n_steps=3):
     rng = np.random.RandomState(3)
     st = StyleTransfer(random_params(4), precision='bfloat16', remat=remat)
@@ -91,7 +153,7 @@ def test_bf16_loss_feed_flags():
     from style_transfer2_tpu.engine import objective
     from style_transfer2_tpu.engine.steps import build_step_core
 
-    FLAG_NAMES = ('BF16_TAPS', 'STYLE_EINSUM')
+    FLAG_NAMES = ('BF16_TAPS', 'STYLE_EINSUM', 'BF16_FEED')
     orig = {k: getattr(objective, k) for k in FLAG_NAMES}
 
     def run_with(precision, **flags):
@@ -111,7 +173,8 @@ def test_bf16_loss_feed_flags():
     img32, traces32 = run_with('float32')
     img16, traces16 = run_with('bfloat16')
     for flags in ({'BF16_TAPS': True}, {'STYLE_EINSUM': True},
-                  {'BF16_TAPS': True, 'STYLE_EINSUM': True}):
+                  {'BF16_TAPS': True, 'STYLE_EINSUM': True},
+                  {'BF16_FEED': True}):
         # float32: parity mode is untouched, bit-exact.
         img, traces = run_with('float32', **flags)
         np.testing.assert_array_equal(img, img32, err_msg=str(flags))

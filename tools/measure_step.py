@@ -121,6 +121,11 @@ def main(argv=None):
                    default=None,
                    help='objective.STYLE_EINSUM: reshape-free style '
                         'contraction')
+    p.add_argument('--bf16-feed', action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help='objective.BF16_FEED: fully bf16-native loss feed '
+                        '(taps, content feats, cotangents in bf16; '
+                        'f32-accumulating reductions)')
     p.add_argument('--platform', default='')
     p.add_argument('--keep-trace', default='',
                    help='keep the profiler trace at this directory')
@@ -142,6 +147,8 @@ def main(argv=None):
         _objective.BF16_TAPS = args.bf16_taps
     if args.style_einsum is not None:
         _objective.STYLE_EINSUM = args.style_einsum
+    if args.bf16_feed is not None:
+        _objective.BF16_FEED = args.bf16_feed
 
     import numpy as np
     from PIL import Image
@@ -236,6 +243,7 @@ def main(argv=None):
         # the JSON must describe what actually ran.
         'bf16_taps': _objective.BF16_TAPS,
         'style_einsum': _objective.STYLE_EINSUM,
+        'bf16_feed': _objective.BF16_FEED,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
