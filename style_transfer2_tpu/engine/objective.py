@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models import vgg19
 from ..ops.gram import gram_matrix
-from ..ops.losses import p_norm, tv_norm
+from ..ops.losses import p_norm, tv_norm, tv_norm_s2d
 
 # Weights with |w| <= this are treated as absent (reference worker.py:234,250).
 WEIGHT_EPS = 1e-15
@@ -201,10 +201,16 @@ def empty_norms(spec):
 
 
 def make_objective(spec, precision, compute_dtype, use_pallas=False,
-                   remat=False, block1_s2d=True):
+                   remat=False, block1_s2d=True, input_s2d=False):
     """Returns objective(params, x, content_feats, grams, layer_weights,
     scalars, norms_vals, norms_set) -> (loss, grad, (norms_vals', norms_set'),
-    trace_tuple). Pure — safe to close over inside a larger jitted step."""
+    trace_tuple). Pure — safe to close over inside a larger jitted step.
+
+    input_s2d: x (and temporal_target) arrive in the block-1 space-to-depth
+    layout (engine/steps.py S2D_RESIDENT); the TV loss runs its s2d-domain
+    form (ops/losses.tv_norm_s2d, bit-identical), p/temporal are
+    permutation-invariant elementwise, and the gradient is returned in the
+    same s2d layout."""
 
     def objective(params, x, content_feats, grams, layer_weights, scalars,
                   norms_vals, norms_set, temporal_target=None):
@@ -218,7 +224,7 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
             return jnp.einsum('...,...->', t, t,
                               preferred_element_type=jnp.float32)
         model = vgg19.VGG19Features(params, precision, compute_dtype,
-                                    remat, block1_s2d, tap_dtype)
+                                    remat, block1_s2d, tap_dtype, input_s2d)
         feats, vjp = model.features_and_vjp(x, spec.layers)
 
         loss = jnp.float32(0.0)
@@ -387,7 +393,10 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
         trace.append(loss)  # scd_loss
 
         x_scaled = x / jnp.float32(255.0)
-        tv_loss, tv_grad = tv_norm(x_scaled, spec.tv_power)
+        if input_s2d:
+            tv_loss, tv_grad = tv_norm_s2d(x_scaled, 3, spec.tv_power)
+        else:
+            tv_loss, tv_grad = tv_norm(x_scaled, spec.tv_power)
         t_loss = scalars['tv'] * tv_loss
         trace.append(t_loss)
         loss = loss + t_loss

@@ -24,9 +24,24 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..optim import adam, lbfgs
 from .objective import make_objective
+
+# S2D_RESIDENT: keep the optimization iterate (and the whole image-shaped
+# optimizer state) in the block-1 space-to-depth layout ACROSS a fused scan
+# chunk — the per-step input shuffle and its backward (priced at ~6 ms/step
+# at 2048px bf16 in 'slice' form, round-3 traces) are paid once per chunk
+# boundary instead of once per step. Applies only to the fused scan path
+# (build_scan_fn) in bf16 mode with the BLOCK1_S2D path active; the
+# interactive single-step path is unchanged (chunk length 1 gains nothing).
+# All optimizer math (L-BFGS two-loop vdots, Adam moments) and the p/
+# temporal losses are pixel-permutation-invariant; TV runs its s2d-domain
+# form (bit-identical, tests/test_ops.py). Default OFF until the
+# fresh-process hardware A/B at 512/1024/2048 (round-3 flip discipline);
+# tools/measure_step.py --s2d-resident is the arm.
+S2D_RESIDENT = False
 
 _PRECISIONS = {
     # Parity mode: HIGHEST runs f32 matmuls/convs via multi-pass bf16
@@ -49,7 +64,8 @@ def precision_config(name):
 @functools.lru_cache(maxsize=64)
 def build_step_core(spec, optimizer, precision='float32',
                     b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
-                    use_pallas=False, remat=False, block1_s2d=True):
+                    use_pallas=False, remat=False, block1_s2d=True,
+                    input_s2d=False):
     """Returns (step_core, eval_core) — pure, un-jitted.
 
     Signatures (all pytree args):
@@ -57,10 +73,12 @@ def build_step_core(spec, optimizer, precision='float32',
       eval_core(params, state, inputs) -> (state', norms', trace)
     where inputs = dict(content_feats=..., grams=..., layer_weights=...,
     scalars=..., norms_vals=..., norms_set=...). eval_core is None for Adam.
+    input_s2d: the state's image-shaped leaves are in s2d layout
+    (S2D_RESIDENT; the scan builder converts at chunk boundaries).
     """
     lax_precision, compute_dtype = precision_config(precision)
     objective = make_objective(spec, lax_precision, compute_dtype,
-                               use_pallas, remat, block1_s2d)
+                               use_pallas, remat, block1_s2d, input_s2d)
 
     def make_opfunc(params, inputs):
         def opfunc(x):
@@ -112,6 +130,41 @@ def build_step_fns(spec, optimizer, precision='float32',
     return step_fn, eval_fn
 
 
+def _s2d_state(tree, hw):
+    """Converts every image-shaped leaf ((..., H, W, 3) with (H, W) = hw)
+    of an optimizer-state/inputs pytree to the block-1 s2d layout
+    (..., H/2, W/2, 12). Leaves with other shapes pass through."""
+    from ..models import vgg19
+    h, w = hw
+
+    def conv(leaf):
+        if getattr(leaf, 'ndim', 0) >= 4 and leaf.shape[-3:] == (h, w, 3):
+            lead = leaf.shape[:-3]
+            flat = leaf.reshape((int(np.prod(lead)),) + (h, w, 3))
+            out = vgg19._space_to_depth(flat)
+            return out.reshape(lead + out.shape[1:])
+        return leaf
+
+    return jax.tree_util.tree_map(conv, tree)
+
+
+def _d2s_state(tree, hw):
+    """Inverse of _s2d_state."""
+    from ..models import vgg19
+    h, w = hw
+    s2d_shape = (h // 2, w // 2, 12)
+
+    def conv(leaf):
+        if getattr(leaf, 'ndim', 0) >= 4 and leaf.shape[-3:] == s2d_shape:
+            lead = leaf.shape[:-3]
+            flat = leaf.reshape((int(np.prod(lead)),) + s2d_shape)
+            out = vgg19._depth_to_space(flat, 3)
+            return out.reshape(lead + out.shape[1:])
+        return leaf
+
+    return jax.tree_util.tree_map(conv, tree)
+
+
 @functools.lru_cache(maxsize=64)
 def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
                   b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
@@ -126,24 +179,51 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
     donated into the next dispatch under pipelining — the snapshot must
     survive that donation. The norm state threads through the scan, so
     first-eval caching behaves identically to K separate steps.
+
+    Under S2D_RESIDENT (bf16 + BLOCK1_S2D path, even grid, no data tap,
+    no Pallas) the whole image-shaped state converts to s2d layout ONCE on
+    entry, every scanned step runs s2d-resident, and the state converts
+    back on exit — persistent engine state stays full-res, so interactive
+    steps, checkpoints and resamples are untouched. The flag is read at
+    trace time (fresh process per hardware arm, like the other perf flags).
     """
     step_core, _ = build_step_core(spec, optimizer, precision, b1, b2,
                                    use_pallas, remat, block1_s2d)
+    step_core_s2d, _ = build_step_core(spec, optimizer, precision, b1, b2,
+                                       use_pallas, remat, block1_s2d,
+                                       input_s2d=True)
+    _, compute_dtype = precision_config(precision)
 
     def scan_fn(params, state, inputs, step_size):
+        from ..models import vgg19
+        hw = tuple(state['x'].shape[1:3])
+        resident = (
+            S2D_RESIDENT and compute_dtype == jnp.bfloat16
+            and bool(vgg19.BLOCK1_S2D) and block1_s2d and not use_pallas
+            and hw[0] % 2 == 0 and hw[1] % 2 == 0
+            and 'data' not in spec.layers and spec.layers)
+        core = step_core_s2d if resident else step_core
+        if resident:
+            state = _s2d_state(state, hw)
+            if inputs.get('temporal_target') is not None:
+                inputs = dict(inputs)
+                inputs['temporal_target'] = _s2d_state(
+                    inputs['temporal_target'], hw)
+
         def body(carry, _):
             state, norms_vals, norms_set = carry
             step_inputs = dict(inputs)
             step_inputs['norms_vals'] = norms_vals
             step_inputs['norms_set'] = norms_set
-            state_new, norms, trace = step_core(params, state, step_inputs,
-                                                step_size)
+            state_new, norms, trace = core(params, state, step_inputs,
+                                           step_size)
             return (state_new, norms[0], norms[1]), trace
 
         init = (state, inputs['norms_vals'], inputs['norms_set'])
         (state, norms_vals, norms_set), traces = jax.lax.scan(
             body, init, None, length=n_steps)
-        from ..models import vgg19
+        if resident:
+            state = _d2s_state(state, hw)
         image = vgg19.deprocess(state['x'])
         return state, (norms_vals, norms_set), traces, image
 

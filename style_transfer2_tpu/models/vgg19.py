@@ -313,10 +313,11 @@ def _conv1_s2d(x, w, b, precision):
 
 @functools.partial(jax.jit, static_argnames=('layers', 'precision',
                                              'compute_dtype', 'remat',
-                                             'block1_s2d', 'tap_dtype'))
+                                             'block1_s2d', 'tap_dtype',
+                                             'input_s2d'))
 def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST,
                      compute_dtype=jnp.float32, remat=False,
-                     block1_s2d=True, tap_dtype=None):
+                     block1_s2d=True, tap_dtype=None, input_s2d=False):
     """Runs the network forward, returning a dict of feature maps for the
     requested blob names (default: all blobs), like CaffeModel.forward
     (reference worker.py:77-86) — but stops at the deepest requested blob
@@ -349,6 +350,13 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
         compute dtype in bf16 speed mode (engine/objective.py BF16_TAPS):
         the features are bf16 upstream anyway, so an f32 tap adds no
         information while doubling tap/Gram/cotangent HBM traffic.
+      input_s2d: x is ALREADY in the block-1 space-to-depth layout
+        (n, H/2, W/2, 12) — the s2d-resident iterate (engine/steps.py
+        S2D_RESIDENT) keeps the optimization state in that layout across a
+        fused scan so the per-step input shuffle (and its backward) is
+        paid once per chunk instead of once per step. Requires the
+        BLOCK1_S2D path (the caller gates); the 'data' blob cannot be
+        tapped (its layout would change meaning).
     """
     if layers is None:
         layers = BLOB_NAMES
@@ -360,6 +368,9 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
 
     feats = {}
     if 'data' in wanted:
+        if input_s2d:
+            raise ValueError("the 'data' blob cannot be tapped from an "
+                             "s2d-resident input")
         feats['data'] = x
 
     def conv_block(h, w, b):
@@ -379,15 +390,22 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
         conv1_block = jax.checkpoint(conv1_block)
         s2d_conv_block = jax.checkpoint(s2d_conv_block)
 
-    even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    # For an s2d-resident input the ORIGINAL grid (2*H/2, 2*W/2) is even by
+    # construction; x.shape here is already the halved s2d grid.
+    even = input_s2d or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
     # The space-to-depth rewrite of the thin first conv alone (measured off).
-    use_s2d = (S2D_CONV1 and compute_dtype == jnp.bfloat16 and even)
+    use_s2d = (S2D_CONV1 and compute_dtype == jnp.bfloat16 and even
+               and not input_s2d)
     # The whole-block-1 space-to-depth path: bf16 (speed) mode at even
     # resolutions; float32 keeps the direct convs so the parity-mode
     # summation order is untouched ('always' forces it on, for tests).
     use_b1 = (BLOCK1_S2D and even and not use_s2d
               and (block1_s2d or BLOCK1_S2D == 'always')
               and (compute_dtype == jnp.bfloat16 or BLOCK1_S2D == 'always'))
+    if input_s2d and not (use_b1 and deepest >= 1):
+        raise ValueError('input_s2d requires the BLOCK1_S2D path '
+                         '(bf16/even grid/block1_s2d on) and at least one '
+                         'non-data tap')
 
     # In bf16 mode the trunk runs bf16 end-to-end (uniform dtypes keep the
     # conv vjp well-typed); feature taps are returned as float32 so the loss
@@ -409,10 +427,12 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
             # pool1's natural (n, H/2, W/2, 64).
             # The barrier pins the bf16 cast BEFORE the 6-D transform: XLA
             # otherwise commutes them and runs the lane-hostile shuffle at
-            # f32 width (trace-measured 0.2 ms/step extra).
+            # f32 width (trace-measured 0.2 ms/step extra). An s2d-resident
+            # input arrives pre-shuffled — no transform, no barrier.
             taps = {}
-            h = jax.lax.optimization_barrier(h)
-            h = _space_to_depth(h)
+            if not input_s2d:
+                h = jax.lax.optimization_barrier(h)
+                h = _space_to_depth(h)
             for name in b1_names:
                 if name == 'pool1':
                     nb, h2, w2, c4 = h.shape
@@ -488,13 +508,14 @@ class VGG19Features:
 
     def __init__(self, params, precision=jax.lax.Precision.HIGHEST,
                  compute_dtype=jnp.float32, remat=False, block1_s2d=True,
-                 tap_dtype=None):
+                 tap_dtype=None, input_s2d=False):
         self.params = params
         self.precision = precision
         self.compute_dtype = compute_dtype
         self.remat = remat
         self.block1_s2d = block1_s2d
         self.tap_dtype = tap_dtype
+        self.input_s2d = input_s2d
 
     def layers(self):
         """All blob names, like CaffeModel.layers()."""
@@ -511,7 +532,7 @@ class VGG19Features:
         return extract_features(self.params, x, layers,
                                 self.precision, self.compute_dtype,
                                 self.remat, self.block1_s2d,
-                                self.tap_dtype)
+                                self.tap_dtype, self.input_s2d)
 
     def features_and_vjp(self, x, layers):
         """Returns (features dict, vjp function). The vjp over injected
@@ -523,7 +544,7 @@ class VGG19Features:
             feats = extract_features(self.params, x_, layers,
                                      self.precision, self.compute_dtype,
                                      self.remat, self.block1_s2d,
-                                     self.tap_dtype)
+                                     self.tap_dtype, self.input_s2d)
             return tuple(feats[l] for l in layers)
 
         outs, vjp_fn = jax.vjp(f, x)

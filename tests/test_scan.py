@@ -84,6 +84,55 @@ def test_prewarm_leaves_live_state_untouched(rng):
     assert np.isfinite(tr['loss'])
 
 
+def test_s2d_resident_scan_tracks_plain(rng):
+    """S2D_RESIDENT (bf16 fused scan with the iterate + optimizer state in
+    s2d layout) must track the plain bf16 scan trajectory: the convs see
+    identical values (the shuffle is an exact permutation), TV's s2d form
+    is bit-identical, and the only deviations are reduction reassociation
+    in the permutation-invariant sums. State converts back at chunk
+    boundaries, so a following interactive step continues cleanly."""
+    from style_transfer2_tpu.engine import steps as steps_mod
+
+    def run(flag, optimizer):
+        orig = steps_mod.S2D_RESIDENT
+        steps_mod.S2D_RESIDENT = flag
+        steps_mod.build_scan_fn.cache_clear()
+        try:
+            seed = np.random.RandomState(9)
+            params = random_params(13)
+            st = StyleTransfer(params, precision='bfloat16')
+            st.set_weights(WEIGHTS, SCALARS)
+            st.set_optimizer(optimizer)
+            st.set_step_size({'adam': 10.0, 'lbfgs': 1.0}[optimizer])
+            st.set_content(seed.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            st.set_style(seed.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            st.set_input(seed.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            assert st.start()
+            img, _ = st.run_steps(4)
+            assert st.input_hw == (24, 24)      # state back in full-res
+            _, tr = st.step()                   # interactive step continues
+            assert np.isfinite(tr['loss'])
+            return img, [t.data for t in st.traces]
+        finally:
+            steps_mod.S2D_RESIDENT = orig
+            steps_mod.build_scan_fn.cache_clear()
+
+    for optimizer in ('lbfgs', 'adam'):
+        img_p, traces_p = run(False, optimizer)
+        img_r, traces_r = run(True, optimizer)
+        assert len(traces_p) == len(traces_r)
+        for i, (tp, tr_) in enumerate(zip(traces_p, traces_r)):
+            rtol = 0.02 if i == 0 else 0.2   # bf16 reassociation compounds
+            for key in tp:
+                if key in ('time', 'fevals'):
+                    continue
+                np.testing.assert_allclose(
+                    tr_[key], tp[key], rtol=rtol,
+                    err_msg='%s/%s@%d' % (optimizer, key, i))
+        rms = np.sqrt(np.mean((img_r - img_p) ** 2))
+        assert rms < 4.0, (optimizer, rms)
+
+
 def test_scan_then_step_continues(rng):
     st = _make(rng, 'adam')
     st.run_steps(2, fetch_image=False)

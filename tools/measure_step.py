@@ -126,6 +126,10 @@ def main(argv=None):
                    help='objective.BF16_FEED: fully bf16-native loss feed '
                         '(taps, content feats, cotangents in bf16; '
                         'f32-accumulating reductions)')
+    p.add_argument('--s2d-resident', action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help='steps.S2D_RESIDENT: iterate + optimizer state stay '
+                        'in s2d layout across the fused scan chunk')
     p.add_argument('--platform', default='')
     p.add_argument('--keep-trace', default='',
                    help='keep the profiler trace at this directory')
@@ -149,6 +153,9 @@ def main(argv=None):
         _objective.STYLE_EINSUM = args.style_einsum
     if args.bf16_feed is not None:
         _objective.BF16_FEED = args.bf16_feed
+    from style_transfer2_tpu.engine import steps as _steps
+    if args.s2d_resident is not None:
+        _steps.S2D_RESIDENT = args.s2d_resident
 
     import numpy as np
     from PIL import Image
@@ -244,6 +251,7 @@ def main(argv=None):
         'bf16_taps': _objective.BF16_TAPS,
         'style_einsum': _objective.STYLE_EINSUM,
         'bf16_feed': _objective.BF16_FEED,
+        's2d_resident': _steps.S2D_RESIDENT,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
