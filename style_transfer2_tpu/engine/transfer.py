@@ -118,6 +118,7 @@ class StyleTransfer:
         self.norm_set = {}
 
         self.traces = []
+        self._pending_prime = None   # lazily-deferred prime trace futures
 
         # Device-resident caches: per-iteration host->device uploads over a
         # TPU tunnel cost ~70 ms each, so the small step inputs (weight
@@ -357,11 +358,13 @@ class StyleTransfer:
             self._step_size_dev = jnp.float32(self.step_size)
         return self._step_size_dev
 
-    def _absorb(self, spec, norms, trace_vals):
+    def _absorb_norms(self, spec, norms):
         norms_vals, norms_set = norms
         for key in spec.norm_keys:
             self.norm_vals[key] = norms_vals[key]
             self.norm_set[key] = norms_set[key]
+
+    def _absorb_trace(self, spec, trace_vals):
         # One host transfer for the whole trace instead of a sync per scalar.
         trace_vals = [float(v) for v in np.asarray(jax.device_get(trace_vals))]
         trace = Trace()
@@ -372,12 +375,34 @@ class StyleTransfer:
         self.traces.append(trace)
         return trace
 
-    def _prime_if_needed(self, spec, eval_fn):
+    def _absorb(self, spec, norms, trace_vals):
+        self._absorb_norms(spec, norms)
+        return self._absorb_trace(spec, trace_vals)
+
+    def _flush_pending_prime(self):
+        """Materializes a lazily-primed eval trace (begin_steps) so
+        self.traces stays in dispatch order."""
+        if self._pending_prime is not None:
+            spec, trace_vals = self._pending_prime
+            self._pending_prime = None
+            self._absorb_trace(spec, trace_vals)
+
+    def _prime_if_needed(self, spec, eval_fn, lazy=False):
+        """Primes the L-BFGS (loss, grad) cache. With lazy=True the norm
+        state absorbs as device futures and the trace transfer is DEFERRED
+        to the next collect/step — a blocking device_get here would chain
+        on every in-flight dispatch and serialize pipelined callers
+        (begin_steps is async by contract)."""
         if self._needs_init:
+            self._flush_pending_prime()
             inputs = self._gather_inputs(spec)
             self.opt_state, norms, trace_vals = eval_fn(
                 self.params, self.opt_state, inputs)
-            self._absorb(spec, norms, trace_vals)
+            self._absorb_norms(spec, norms)
+            if lazy:
+                self._pending_prime = (spec, trace_vals)
+            else:
+                self._absorb_trace(spec, trace_vals)
             self._needs_init = False
 
     def step(self, fetch_image=True):
@@ -392,6 +417,7 @@ class StyleTransfer:
                                           use_pallas=self.use_pallas,
                                           remat=self.remat,
                                           block1_s2d=self.block1_s2d)
+        self._flush_pending_prime()
         self._prime_if_needed(spec, eval_fn)
 
         inputs = self._gather_inputs(spec)
@@ -419,7 +445,9 @@ class StyleTransfer:
                                     use_pallas=self.use_pallas,
                                     remat=self.remat,
                                     block1_s2d=self.block1_s2d)
-        self._prime_if_needed(spec, eval_fn)
+        # Lazy priming: the eval's trace transfer would block on every
+        # in-flight dispatch; it materializes at the next collect instead.
+        self._prime_if_needed(spec, eval_fn, lazy=True)
 
         scan_fn = build_scan_fn(spec, self.optimizer_name, self.precision,
                                 n_steps, use_pallas=self.use_pallas,
@@ -442,6 +470,7 @@ class StyleTransfer:
         The image is the iterate as of the END of that dispatch — computed
         on device as a scan output of its own, so it survives the state
         donation even when later dispatches are already in flight."""
+        self._flush_pending_prime()
         # One host transfer for all n_steps traces.
         columns = [np.asarray(col) for col in jax.device_get(dispatch.traces)]
         now = time.perf_counter()
@@ -473,7 +502,8 @@ class StyleTransfer:
         array (one host transfer)."""
         return np.asarray(vgg19.deprocess(self._input))
 
-    def prewarm(self, hw, ks=(1,), style_hw=None, from_hw=None):
+    def prewarm(self, hw, ks=(1,), style_hw=None, from_hw=None,
+                scalar_overrides=None):
         """Compiles every program a live session needs at input grid hw
         WITHOUT touching this session's state. The step/eval/scan builders
         are module-level caches keyed on (objective structure, optimizer,
@@ -495,7 +525,12 @@ class StyleTransfer:
         on dummy data (compile dominates; the persistent compilation cache
         then covers future processes). Thread-safe alongside a live engine
         stepping in another thread — serving prewarm runs on its own
-        executor. Returns wall seconds."""
+        executor. Returns wall seconds.
+
+        scalar_overrides, if given, is merged over the live scalar params —
+        used to warm a DIFFERENT objective structure than the live one
+        (e.g. video mode warms the temporal-loss programs during the first
+        frame, before set_temporal has ever run)."""
         t0 = time.perf_counter()
         clone = StyleTransfer(self.params, precision=self.precision,
                               n_corr=self.n_corr, placement=self.placement,
@@ -503,6 +538,8 @@ class StyleTransfer:
                               block1_s2d=self.block1_s2d)
         clone.weights = {name: dict(v) for name, v in self.weights.items()}
         clone.scalar_params = dict(self.scalar_params)
+        if scalar_overrides:
+            clone.scalar_params.update(scalar_overrides)
         clone.optimizer_name = self.optimizer_name
         clone.step_size = self.step_size
         hw = tuple(int(v) for v in hw)
@@ -526,7 +563,7 @@ class StyleTransfer:
         if clone.spec().temporal:
             clone.set_temporal(
                 rng.randint(0, 256, hw + (3,)).astype(np.uint8),
-                self.scalar_params['temporal'])
+                clone.scalar_params['temporal'])
         clone.set_input(rng.randint(0, 256, hw + (3,)).astype(np.uint8))
         clone.set_content(rng.randint(0, 256, hw + (3,)).astype(np.uint8))
         if not clone.start():
@@ -541,6 +578,7 @@ class StyleTransfer:
     def write_trace(self, filename):
         """Dumps the accumulated trace history to CSV (worker.py:312-315)."""
         import pandas as pd
+        self._flush_pending_prime()
         df = pd.DataFrame([t.data for t in self.traces])
         df.index.name = 'step'
         df.to_csv(filename)

@@ -139,3 +139,42 @@ def test_video_pipeline_lbfgs(rng):
     assert 'temporal_loss' in trace  # later frames carry the temporal term
     for out in outs:
         assert np.isfinite(out).all()
+
+
+def test_video_pipelined_overlap_matches_serial(rng):
+    """The pipelined driver path (begin_frame N+1 enqueued BEFORE
+    collect_frame N) must produce the same frames as the serial path: the
+    in-flight dispatch captured its inputs, the next frame's warm start
+    chains on the async scan output on device, and the lazily-primed eval
+    traces land in dispatch order."""
+    from style_transfer2_tpu.video import VideoStylizer
+
+    frames = _frames(4)
+    style = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    params = random_params(5)
+
+    def make():
+        v = VideoStylizer(params, WEIGHTS, SCALARS, optimizer='lbfgs',
+                          step_size=1.0, first_iterations=4, iterations=3,
+                          temporal_weight=1e4, seed=2)
+        v.set_style(style)
+        return v
+
+    serial = make()
+    outs_serial = [serial.stylize_frame(f)[0] for f in frames]
+
+    piped = make()
+    outs_piped = []
+    pending = None
+    for f in frames:
+        d = piped.begin_frame(f)
+        if pending is not None:
+            outs_piped.append(piped.collect_frame(pending)[0])
+        pending = d
+    outs_piped.append(piped.collect_frame(pending)[0])
+
+    assert len(outs_piped) == len(outs_serial)
+    for i, (a, b) in enumerate(zip(outs_piped, outs_serial)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3,
+                                   err_msg='frame %d' % i)
+    assert len(piped.st.traces) == len(serial.st.traces)
