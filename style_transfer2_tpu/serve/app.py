@@ -77,6 +77,9 @@ class SingleSessionTier(sn.EngineActions):
         self.router.enabled_check = lambda: self.sess.worker_ready
         self.persist_path = config.get('persist_path', '')
         self._persist_sig = None
+        # Active multi-scale ladder (coarse-to-fine serving schedule):
+        # dict(rungs=[(h, w)...], idx, per_rung, next_at) or None.
+        self.ladder = None
 
     # -- config helpers -----------------------------------------------------
 
@@ -209,6 +212,7 @@ class SingleSessionTier(sn.EngineActions):
                               if b.image is not None), None)
                 self.sess.note_iterates(batch[-1].i, image,
                                         [b.trace for b in batch])
+                await self._ladder_tick()
             elif isinstance(msg, m.WorkerReady):
                 self.sess.worker_ready = True
                 self.layers = msg.layers
@@ -260,9 +264,80 @@ class SingleSessionTier(sn.EngineActions):
                                           t0=0 if reset_state else sess.i))
         await self._to_driver(m.SetWeights(*sess.params['weights']))
 
+    # -- multi-scale serving ladder ---------------------------------------------
+    #
+    # The CLI's coarse-to-fine schedule (2.9x lower converged-1024px loss at
+    # comparable wall time, BENCH_r03) offered to serving users: a fresh
+    # session whose params document carries `ladder: <iters-per-rung>`
+    # (seeded from config `serve_ladder`) optimizes up the scales() ladder
+    # to its requested size, each rung warm-start-resampled on device and
+    # the next rung's programs compiling in the background (m.Prewarm).
+    # The reference's user-paced resize (app.py:187-201), automated.
+
+    def _ladder_iters(self):
+        try:
+            return max(0, int(self.sess.params.get('ladder', 0) or 0))
+        except (TypeError, ValueError):
+            return 0
+
+    async def _maybe_begin_ladder(self):
+        per_rung = self._ladder_iters()
+        sess = self.sess
+        if (not per_rung or self.ladder is not None or sess.i > 1
+                or sess.input_arr is None):
+            return
+        target_hw = tuple(sess.input_arr.shape[:2])
+        min_scale = self.config.getint('ladder_min_scale', 96)
+        rungs = []
+        for hw in utils.scales(target_hw, min_size=min_scale):
+            s = self._snap_grid(hw)
+            if s not in rungs:
+                rungs.append(s)
+        if len(rungs) < 2:
+            return
+        self.ladder = {'rungs': rungs, 'idx': 0, 'per_rung': per_rung,
+                       'next_at': per_rung}
+        logger.info('serving ladder: %s at %d iters/rung', rungs, per_rung)
+        await self._change_grid(rungs[0])
+        await self._to_driver(m.Prewarm([rungs[1]]))
+
+    async def _ladder_tick(self):
+        lad = self.ladder
+        if lad is None or self.sess.i < lad['next_at']:
+            return
+        lad['idx'] += 1
+        if lad['idx'] >= len(lad['rungs']):
+            self.ladder = None
+            logger.info('serving ladder complete at %s',
+                        tuple(self.sess.input_arr.shape[:2]))
+            return
+        hw = lad['rungs'][lad['idx']]
+        lad['next_at'] = self.sess.i + lad['per_rung']
+        logger.info('serving ladder: advancing to %s', hw)
+        await self._change_grid(hw)
+        if lad['idx'] + 1 < len(lad['rungs']):
+            await self._to_driver(m.Prewarm([lad['rungs'][lad['idx'] + 1]]))
+
+    async def _change_grid(self, hw):
+        """Moves the session to an explicit (H, W) grid with a DEVICE-side
+        warm-start resample of the iterate (and Adam moments) — the
+        ladder's rung advance. User-driven scalar resizes go through
+        change_size (host resample, reference parity)."""
+        sess = self.sess
+        content = np.uint8(sess.content_image.resize(hw[::-1], Image.LANCZOS))
+        sess.its_per_s.clear()
+        if sess.i <= 1:
+            sess.input_arr = sn.fresh_random_input(hw)
+            await self._to_driver(m.SetImages(hw, sess.input_arr, content))
+        else:
+            await self._to_driver(m.SetImages(hw, m.SetImages.RESAMPLE,
+                                              content))
+        sess.push('newSize', height=hw[0], width=hw[1])
+
     # -- EngineActions (WS inbound commands) -----------------------------------
 
     async def start(self):
+        await self._maybe_begin_ladder()
         await self._to_driver(m.StartIteration())
 
     async def pause(self):
@@ -275,6 +350,11 @@ class SingleSessionTier(sn.EngineActions):
         sess.input_was_reset = True
         await self._to_driver(m.SetImages(input_image=image,
                                           reset_state=True))
+        # A reset restarts the coarse-to-fine schedule from rung 0 (the
+        # iterate counter restarts at 1 with the fresh random input).
+        self.ladder = None
+        sess.i = 0
+        await self._maybe_begin_ladder()
 
     async def restart_engine(self):
         self.sess.running = False
@@ -286,6 +366,8 @@ class SingleSessionTier(sn.EngineActions):
         size = self._snap(size)
         if size == max(sess.input_arr.shape):
             return size
+        # A user-driven resize overrides the automated schedule.
+        self.ladder = None
         hw = self._snap_grid(
             utils.fit_into_square(sess.input_arr.shape[:2], size, True))
         content = np.uint8(sess.content_image.resize(hw[::-1], Image.LANCZOS))
@@ -307,6 +389,7 @@ class SingleSessionTier(sn.EngineActions):
     async def reset_session(self):
         """Full session reset (the router's Reset)."""
         await self.pause()
+        self.ladder = None
         self.sess.running = False
         self.sess.load_defaults(self.config, ROOT_DIR)
         self.sess.input_arr = None
@@ -355,6 +438,7 @@ class SingleSessionTier(sn.EngineActions):
             await self._to_driver(m.SetImages(style_image=arr))
             sess.push('thumbnails', style=sess.thumbnail('style'))
         elif slot == 'content':
+            self.ladder = None   # new content grid overrides the schedule
             arr = np.uint8(utils.resize_to_fit(image, self._snap(size)))
             hw = self._snap_grid(arr.shape[:2])
             if hw != arr.shape[:2]:

@@ -285,6 +285,9 @@ class Driver:
         self.dispatch_timeout = float(dispatch_timeout)
         self.prewarm_grids = [tuple(int(v) for v in hw)
                               for hw in prewarm_grids]
+        # Dynamic prewarm feed: seeded with prewarm_grids at startup;
+        # m.Prewarm messages (the serving ladder) append mid-session.
+        self._prewarm_queue = asyncio.Queue()
         self._prewarm_task = None
         self._recent_control = False
         self.tuner = None
@@ -327,14 +330,16 @@ class Driver:
         return (1,)
 
     async def _prewarm_loop(self):
-        """Background ladder prewarm: compiles the configured grids one at
-        a time on a dedicated executor while the session runs. Compilation
-        is host/compiler-side, so live step dispatches keep flowing from
+        """Background prewarm: compiles queued grids one at a time on a
+        dedicated executor while the session runs. Compilation is
+        host/compiler-side, so live step dispatches keep flowing from
         the driver thread; each grid costs one dummy step of device time.
         No watchdog — a prewarm compile taking minutes is the expected
         case, and a wedged backend already trips the live dispatch
         watchdog. Waits for the app to feed the engine first (the
-        objective structure defines the programs to warm)."""
+        objective structure defines the programs to warm). The queue is
+        seeded with prewarm_grids and stays open for m.Prewarm appends
+        (the serving ladder's next-rung compile)."""
         executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix='prewarm')
         try:
@@ -342,12 +347,11 @@ class Driver:
                 if self.should_stop:
                     return
                 await asyncio.sleep(0.5)
-            ks = self._prewarm_ks()
-            for hw in self.prewarm_grids:
-                if self.should_stop:
-                    return
+            while not self.should_stop:
+                hw = await self._prewarm_queue.get()
                 if hw == self.transfer.input_hw:
                     continue  # the live grid is already compiled
+                ks = self._prewarm_ks()
                 try:
                     dt = await self.loop.run_in_executor(
                         executor, self.transfer.prewarm, hw, ks)
@@ -359,6 +363,14 @@ class Driver:
             pass
         finally:
             executor.shutdown(wait=False)
+
+    def _queue_prewarm(self, grids):
+        """Enqueues grids for background compilation and lazily starts the
+        prewarm loop."""
+        for hw in grids:
+            self._prewarm_queue.put_nowait(tuple(int(v) for v in hw))
+        if self._prewarm_task is None or self._prewarm_task.done():
+            self._prewarm_task = asyncio.ensure_future(self._prewarm_loop())
 
     async def _collect(self, handle):
         """Materializes one in-flight dispatch and emits its Iterates (one
@@ -377,7 +389,7 @@ class Driver:
         dispatch down to a single step."""
         await self.start()
         if self.prewarm_grids:
-            self._prewarm_task = asyncio.ensure_future(self._prewarm_loop())
+            self._queue_prewarm(self.prewarm_grids)
         in_flight = []   # (begin_steps handle, enqueue time), dispatch order
 
         async def flush():
@@ -477,6 +489,11 @@ class Driver:
     async def process_message(self, msg):
         """Dispatches one message; returns True on Shutdown
         (reference worker.py:366-409)."""
+        if isinstance(msg, m.Prewarm):
+            # Pure background-compile request: doesn't touch engine state,
+            # so it must not drop the next dispatch to a single step.
+            self._queue_prewarm(msg.grids)
+            return False
         self._recent_control = True
         t = self.transfer
 

@@ -74,6 +74,16 @@ class PauseIteration(Message):
 
 
 @dataclass(repr=False)
+class Prewarm(Message):
+    """App -> driver: compile the programs for these (H, W) grids in the
+    background (StyleTransfer.prewarm on the driver's prewarm executor).
+    The serving ladder sends the NEXT rung's grid while the current rung
+    optimizes, so each rung advance lands on compiled programs. Not a
+    reference message — the reference's Caffe had no compile step."""
+    grids: list = field(default_factory=list)
+
+
+@dataclass(repr=False)
 class Reset(Message):
     """Router -> app: reset all session state (new user assigned)."""
 

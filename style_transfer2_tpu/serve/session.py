@@ -174,6 +174,12 @@ class Session:
         self.params = {'size': size, 'optimizer': optimizer,
                        'optimizer_step_size': step_size,
                        'weights': weights_doc}
+        # serve_ladder = N seeds the multi-scale serving schedule: fresh
+        # sessions coarse-to-fine to their requested size, N iters/rung
+        # (users toggle it per-session via the params document).
+        ladder = config.getint('serve_ladder', 0)
+        if ladder:
+            self.params['ladder'] = ladder
         self.style_size = size
 
     # -- iterate bookkeeping ----------------------------------------------------
