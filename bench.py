@@ -285,6 +285,126 @@ def bench_northstar(params, precision):
     }
 
 
+QUALITY_ITERS = int(os.environ.get('BENCH_QUALITY_ITERS', CHUNK))
+
+
+def bench_bf16_quality(params, content, style):
+    """Quantifies what the bf16 headline costs in quality (VERDICT r3 weak
+    #6): f32 and bf16 runs from the same init at iteration parity
+    (QUALITY_ITERS), then the bf16 iterate RE-EVALUATED under the f32
+    engine's objective (same norm state, so the losses are commensurate).
+    Records the relative final-loss delta (own-arithmetic and f32-evaluated)
+    plus the image RMS. Reuses the headline's compiled programs."""
+    rng = np.random.RandomState(0)
+    init = rng.uniform(0, 255, content.shape).astype(np.uint8)
+
+    st32 = _make_engine(params, content, style, init, 'float32')
+    img32, tr32 = st32.run_steps(QUALITY_ITERS)
+    loss32 = tr32['loss']
+
+    st16 = _make_engine(params, content, style, init, 'bfloat16')
+    img16, tr16 = st16.run_steps(QUALITY_ITERS)
+    loss16_own = tr16['loss']
+    del st16
+
+    # Cross-eval: the bf16 result under the f32 objective. set_input keeps
+    # the norm cache (cleared only by reset) and re-primes L-BFGS, so the
+    # first trace of the next dispatch is the f32 loss AT the bf16 iterate.
+    n_before = len(st32.traces)
+    st32.set_input(img16)
+    st32.run_steps(QUALITY_ITERS, fetch_image=False)
+    loss16_f32 = st32.traces[n_before].data['loss']
+    del st32
+
+    delta_own = (loss16_own - loss32) / abs(loss32)
+    delta_f32 = (loss16_f32 - loss32) / abs(loss32)
+    rms = float(np.sqrt(np.mean((np.float32(img16) - img32) ** 2)))
+    log('bf16 quality @%d iters: f32 loss %.6g, bf16 loss %.6g (own), '
+        '%.6g (f32-evaluated) -> delta %+.2f%% own / %+.2f%% f32-eval, '
+        'image RMS %.2f'
+        % (QUALITY_ITERS, loss32, loss16_own, loss16_f32,
+           100 * delta_own, 100 * delta_f32, rms))
+    return {
+        'bfloat16_loss_delta': round(float(delta_f32), 5),
+        'bfloat16_loss_delta_own': round(float(delta_own), 5),
+        'bfloat16_image_rms': round(rms, 2),
+    }
+
+
+# -- Video phase ------------------------------------------------------------------
+
+VIDEO_FRAMES = int(os.environ.get('BENCH_VIDEO_FRAMES', 6))
+VIDEO_SHIFT = 4   # pixels of synthetic pan per frame
+
+
+def bench_video(params, style):
+    """Video mode as a repeatable bench phase (VERDICT r3 weak #3): a
+    synthetic pan over golden_gate at 512px bf16, stylized through the
+    PIPELINED frame loop (one fused dispatch per frame, on-device warm
+    start + temporal chaining, PNG encode overlapped with device compute).
+    Records steady-state s/frame and the temporal-consistency metric:
+    stylized frame-to-frame RMS vs the input's own frame-to-frame motion
+    RMS (lower ratio = steadier output than camera motion)."""
+    import io
+
+    from PIL import Image
+    from style_transfer2_tpu.utils import resize_to_fit
+    from style_transfer2_tpu.video import VideoStylizer
+
+    big = np.asarray(Image.open(HERE / 'examples/golden_gate.jpg')
+                     .convert('RGB'))
+    # A sliding 512-class crop: same grid every frame, shifted content.
+    base = np.uint8(resize_to_fit(Image.fromarray(big), SIZE + 64))
+    h, w = base.shape[0] - VIDEO_FRAMES * VIDEO_SHIFT, base.shape[1] - 64
+    frames = [base[i * VIDEO_SHIFT:i * VIDEO_SHIFT + h,
+                   i * VIDEO_SHIFT:i * VIDEO_SHIFT + w]
+              for i in range(VIDEO_FRAMES)]
+
+    v = VideoStylizer(params, WEIGHTS, SCALARS, optimizer='lbfgs',
+                      step_size=1.0, first_iterations=150, iterations=40,
+                      temporal_weight=1000.0, precision='bfloat16', seed=0)
+    v.set_style(style)
+
+    outs = []
+    t0 = time.perf_counter()
+    t_first = None
+    pending = None
+    for i, frame in enumerate(frames):
+        d = v.begin_frame(frame)
+        if i == 0 and len(frames) > 1:
+            v.prewarm_temporal(frame.shape[:2])
+        if pending is not None:
+            img, _ = v.collect_frame(pending)
+            buf = io.BytesIO()
+            from style_transfer2_tpu.utils import as_pil
+            as_pil(img).save(buf, format='png')   # host I/O in the loop
+            outs.append(img)
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+        pending = d
+    img, _ = v.collect_frame(pending)
+    outs.append(img)
+    total = time.perf_counter() - t0
+    if t_first is None:
+        t_first = total
+    steady = (total - t_first) / max(len(frames) - 1, 1)
+
+    motion = np.mean([np.sqrt(np.mean((np.float32(a) - b) ** 2))
+                      for a, b in zip(frames, frames[1:])])
+    flicker = np.mean([np.sqrt(np.mean((a - b) ** 2))
+                       for a, b in zip(outs, outs[1:])])
+    log('video: %d frames at %s, first %.1fs, steady %.2f s/frame; '
+        'flicker RMS %.2f vs input motion %.2f'
+        % (len(frames), frames[0].shape[:2], t_first, steady,
+           flicker, motion))
+    return {
+        'video_s_per_frame': round(steady, 3),
+        'video_first_frame_s': round(t_first, 1),
+        'video_flicker_rms': round(float(flicker), 2),
+        'video_input_motion_rms': round(float(motion), 2),
+    }
+
+
 def bench_cpu_reference(params, content, style):
     """CPU-reference its/sec: best-of-N single iterations (host load makes
     means noisy), cached to disk so vs_baseline is stable across runs.
@@ -488,6 +608,18 @@ def main():
 
     dev = jax.devices()[0]
     on_tpu = 'tpu' in (str(dev.platform) + str(dev.device_kind)).lower()
+    if on_tpu and os.environ.get('BENCH_QUALITY', '1') != '0':
+        run_phase('bf16_quality', phase_timeout,
+                  lambda: result.update(
+                      bench_bf16_quality(params, content, style)),
+                  result)
+    if on_tpu and os.environ.get('BENCH_VIDEO', '1') != '0':
+        # First run cold-compiles the temporal programs (minutes over the
+        # tunnel) — its own deadline, like the north star.
+        video_timeout = float(os.environ.get('BENCH_VIDEO_TIMEOUT', 3600))
+        run_phase('video', video_timeout,
+                  lambda: result.update(bench_video(params, style)),
+                  result)
     if on_tpu and os.environ.get('BENCH_NORTHSTAR', '1') != '0':
         # North-star cold-compiles ~5 ladder programs over the tunnel
         # (minutes each uncached) — give it its own, longer deadline.
