@@ -266,68 +266,75 @@ class BatchedStyleTransfer:
 
     # -- stepping -------------------------------------------------------------
 
-    def step_all(self):
-        """One optimizer step for every RUNNING lane (one device dispatch;
-        paused/inactive lanes' state is mask-frozen). Returns {lane: trace
-        dict} for running lanes."""
-        step_fn, eval_fn = build_masked_batched_step_fns(
-            self.spec, self.optimizer_name, self.precision)
-        mask = self._run_mask()
-        self._prime_pending(eval_fn)
-
-        self.states, norms, traces = step_fn(
-            self.params, self.states, self.inputs, self.step_sizes, mask)
-        inputs = dict(self.inputs)
-        inputs['norms_vals'], inputs['norms_set'] = norms
-        self.inputs = inputs
-
-        columns = [np.asarray(c) for c in jax.device_get(traces)]
-        out = {}
-        for lane, busy in enumerate(self.active):
-            if not busy or not self.running[lane]:
-                continue
-            self.t[lane] += 1
-            trace = Trace()
-            for key, col in zip(self.spec.trace_keys, columns):
-                trace(key, float(col[lane]))
-            trace('fevals', self.t[lane])
-            out[lane] = trace.data
-        return out
-
-    def run_steps_all(self, n_steps):
-        """K fused optimizer steps for every running lane in ONE dispatch
-        (vmap of lax.scan) — the batched analog of StyleTransfer.run_steps.
-        Returns {lane: [trace dict per step]} for running lanes."""
-        if n_steps == 1:
-            return {lane: [trace] for lane, trace in self.step_all().items()}
+    def begin_steps_all(self, n_steps):
+        """Dispatches K fused optimizer steps for every running lane WITHOUT
+        collecting (JAX async dispatch): the lane states advance to future
+        arrays and the trace columns ride in the returned handle for
+        collect_steps_all. Buckets placed on DISJOINT device subsets
+        (serve/pool.py pool_bucket_devices) overlap their compute through
+        this split — a serial begin/collect of blocking dispatches would
+        timeshare even separate chips. Returns None when no lane runs."""
+        running = [lane for lane, busy in enumerate(self.active)
+                   if busy and self.running[lane]]
+        if not running:
+            return None
         _, eval_fn = build_masked_batched_step_fns(
             self.spec, self.optimizer_name, self.precision)
         mask = self._run_mask()
         self._prime_pending(eval_fn)
 
-        scan_fn = build_masked_batched_scan_fn(
-            self.spec, self.optimizer_name, self.precision, n_steps)
-        self.states, norms, traces = scan_fn(
-            self.params, self.states, self.inputs, self.step_sizes, mask)
+        if n_steps == 1:
+            step_fn, _ = build_masked_batched_step_fns(
+                self.spec, self.optimizer_name, self.precision)
+            self.states, norms, traces = step_fn(
+                self.params, self.states, self.inputs, self.step_sizes, mask)
+        else:
+            scan_fn = build_masked_batched_scan_fn(
+                self.spec, self.optimizer_name, self.precision, n_steps)
+            self.states, norms, traces = scan_fn(
+                self.params, self.states, self.inputs, self.step_sizes, mask)
         inputs = dict(self.inputs)
         inputs['norms_vals'], inputs['norms_set'] = norms
         self.inputs = inputs
+        t_end = {}
+        for lane in running:
+            self.t[lane] += n_steps
+            t_end[lane] = self.t[lane]
+        return {'traces': traces, 'k': n_steps, 'lanes': running,
+                't_end': t_end}
 
-        columns = [np.asarray(c) for c in jax.device_get(traces)]  # (B, K)
+    def collect_steps_all(self, handle):
+        """Blocks on a begin_steps_all handle; returns {lane: [trace dict
+        per step]} for the lanes that ran in that dispatch."""
+        if handle is None:
+            return {}
+        k = handle['k']
+        # (B,) columns for a single step, (B, K) for a fused scan.
+        columns = [np.asarray(c) for c in jax.device_get(handle['traces'])]
         out = {}
-        for lane, busy in enumerate(self.active):
-            if not busy or not self.running[lane]:
-                continue
+        for lane in handle['lanes']:
             lane_traces = []
-            for k in range(n_steps):
-                self.t[lane] += 1
+            for j in range(k):
                 trace = Trace()
                 for key, col in zip(self.spec.trace_keys, columns):
-                    trace(key, float(col[lane, k]))
-                trace('fevals', self.t[lane])
+                    trace(key, float(col[lane] if k == 1 else col[lane, j]))
+                trace('fevals', handle['t_end'][lane] - k + 1 + j)
                 lane_traces.append(trace.data)
             out[lane] = lane_traces
         return out
+
+    def step_all(self):
+        """One optimizer step for every RUNNING lane (one device dispatch;
+        paused/inactive lanes' state is mask-frozen). Returns {lane: trace
+        dict} for running lanes."""
+        return {lane: traces[0]
+                for lane, traces in self.run_steps_all(1).items()}
+
+    def run_steps_all(self, n_steps):
+        """K fused optimizer steps for every running lane in ONE dispatch
+        (vmap of lax.scan) — the batched analog of StyleTransfer.run_steps.
+        Returns {lane: [trace dict per step]} for running lanes."""
+        return self.collect_steps_all(self.begin_steps_all(n_steps))
 
     def lane_image(self, lane):
         """Fetches one lane's deprocessed iterate (HxWx3 float32 RGB)."""

@@ -221,6 +221,42 @@ class PooledTier:
             raise sn.SizeRejected(
                 'Size is over %d' % self.config.getint('max_size', 9999))
 
+    def bucket_placement(self, size):
+        """Placement for a bucket at `size`. pool_bucket_devices maps sizes
+        to device subsets ('256:0-5; 512:6-7' — ranges or comma lists of
+        jax.devices() indices): each listed bucket gets its OWN sub-mesh, so
+        on a multi-chip slice 'pool small sizes together, dedicate chips to
+        large ones' is configuration rather than deployment advice (the
+        round-3 finding: 4x512px lanes on one chip = 107.7 aggregate it/s
+        vs 157 for a dedicated session — batching pays only where single
+        jobs underfill the MXU). Unlisted sizes use the pool-wide
+        pool_mesh placement. Disjoint subsets overlap their bucket
+        dispatches (drive() begins every bucket before collecting any)."""
+        spec = self.config.get('pool_bucket_devices', '')
+        if not spec:
+            return self.placement
+        import jax
+        from jax.sharding import Mesh
+        from ..parallel import DataPlacement
+        devices = jax.devices()
+        for part in spec.split(';'):
+            part = part.strip()
+            if not part:
+                continue
+            size_s, _, devs = part.partition(':')
+            if int(size_s.strip()) != int(size):
+                continue
+            idxs = []
+            for tok in devs.replace(',', ' ').split():
+                if '-' in tok:
+                    a, b = tok.split('-')
+                    idxs.extend(range(int(a), int(b) + 1))
+                else:
+                    idxs.append(int(tok))
+            sub = np.array([devices[i] for i in idxs])
+            return DataPlacement(Mesh(sub, ('data',)))
+        return self.placement
+
     def bucket_for(self, size):
         """The engine serving `size`, created lazily."""
         hw = self.hw_for(size)
@@ -230,7 +266,7 @@ class PooledTier:
                 hw, max_lanes=self.config.getint('pool_lanes', 4),
                 optimizer=self.config.get('pool_optimizer', 'adam'),
                 precision=self.config.get('precision', 'float32'),
-                placement=self.placement)
+                placement=self.bucket_placement(size))
             logger.info('created bucket %s', hw)
         return self.engines[hw]
 
@@ -251,7 +287,7 @@ class PooledTier:
             hw, max_lanes=self.config.getint('pool_lanes', 4),
             optimizer=self.config.get('pool_optimizer', 'adam'),
             precision=self.config.get('precision', 'float32'),
-            placement=self.placement)
+            placement=self.bucket_placement(size))
         rng = np.random.RandomState(0)
         img = rng.randint(0, 256, hw + (3,)).astype(np.uint8)
         lane = engine.add_job(img, img, img)
@@ -625,17 +661,25 @@ class PooledTier:
                     self.wake.clear()
                     await self.wake.wait()
                     continue
-                for engine in busy_engines:
-                    # One tick = dispatch + fan-out, atomic vs. engine_op
-                    # mutations (a migration interleaved here would re-bind
-                    # the session while we hand it this bucket's results).
-                    async with self.tick_lock:
-                        if not engine.any_running():
-                            continue
-                        by_key = {(s.bucket_hw, s.lane): s
-                                  for s in self.sessions.values()}
+                # One tick = begin EVERY busy bucket, then collect + fan
+                # out — atomic vs. engine_op mutations (a migration
+                # interleaved here would re-bind the session while we hand
+                # it this bucket's results). Beginning all dispatches before
+                # the first collect lets buckets on DISJOINT device subsets
+                # (pool_bucket_devices) compute concurrently; same-device
+                # buckets still timeshare as before.
+                async with self.tick_lock:
+                    by_key = {(s.bucket_hw, s.lane): s
+                              for s in self.sessions.values()}
+                    handles = []
+                    for engine in busy_engines:
+                        handle = await self._device_call(
+                            engine.begin_steps_all, k)
+                        if handle is not None:
+                            handles.append((engine, handle))
+                    for engine, handle in handles:
                         lane_traces = await self._device_call(
-                            engine.run_steps_all, k)
+                            engine.collect_steps_all, handle)
                         for lane, traces in lane_traces.items():
                             sess = by_key.get((engine.hw, lane))
                             if sess is None:

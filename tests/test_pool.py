@@ -312,10 +312,11 @@ def test_pool_device_watchdog(pool_client):
         await a.send({'type': 'start'})
         await a.recv_until('iterateInfo')  # warm: compiles done
 
-        # Arm the watchdog (read per call) and wedge the engine.
+        # Arm the watchdog (read per call) and wedge the engine at the
+        # drive loop's dispatch entry point.
         tier.config['pool_dispatch_timeout'] = '0.3'
         engine = next(iter(tier.engines.values()))
-        engine.run_steps_all = lambda k: _time.sleep(30)
+        engine.begin_steps_all = lambda k: _time.sleep(30)
 
         for _ in range(100):
             if tier.wedged:
@@ -578,3 +579,58 @@ def test_pool_stats_reports_lanes_and_capacity_separately(pool_client):
         assert '1/2 engine lanes in use' in text
         await a.ws.close()
     loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
+def test_pool_bucket_device_subsets():
+    """pool_bucket_devices pins each bucket to its own device subset on the
+    virtual mesh: the 'pool small, dedicate large' guidance as config.
+    Both sessions progress; each bucket's lane states live only on its
+    configured devices; the drive loop's begin-all-then-collect tick keeps
+    both buckets stepping in one round."""
+    import jax
+
+    from style_transfer2_tpu.serve.pool import init
+
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    config = _config()
+    config['pool_bucket_devices'] = '32:0-1; 48:2,3'
+    app = init(config=config)
+    jar = loop.run_until_complete(_make_jar(loop))
+    client = TestClient(TestServer(app), loop=loop, cookie_jar=jar)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            tier = app['tier']
+            a = await WSSession(client).open()     # default 32px bucket
+            b = await WSSession(client).open()
+            # Move session B to the 48px bucket.
+            await b.recv_until('newParams')
+            params = yaml.safe_load(b.got['newParams']['params'])
+            params['size'] = 48
+            await b.send({'type': 'applyParams',
+                          'params': yaml.safe_dump(params)})
+            await b.recv_until('newSize')
+
+            await a.send({'type': 'start'})
+            await b.send({'type': 'start'})
+            ia = await a.recv_until('iterateInfo')
+            ib = await b.recv_until('iterateInfo')
+            assert np.isfinite(ia['trace']['loss'])
+            assert np.isfinite(ib['trace']['loss'])
+
+            devices = jax.devices()
+            expect = {tier.hw_for(32): {devices[0], devices[1]},
+                      tier.hw_for(48): {devices[2], devices[3]}}
+            assert set(tier.engines) == set(expect)
+            for hw, want in expect.items():
+                x = tier.engines[hw].states['x']
+                used = set(x.sharding.mesh.devices.flat)
+                assert used == want, (hw, used, want)
+            await a.ws.close()
+            await b.ws.close()
+
+        loop.run_until_complete(asyncio.wait_for(run(), 600))
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
