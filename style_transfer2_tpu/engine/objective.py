@@ -69,10 +69,12 @@ STYLE_EINSUM = True
 # tensor, and the injected cotangents are produced natively in bf16 in
 # the tap's own layout — the cast node, and its backward copy, cease to
 # exist. Implies taps in compute dtype; the style branch uses the
-# STYLE_EINSUM contraction with a bf16 gradient output. Default OFF
-# until the fresh-process hardware A/B at 512/1024/2048 (round-3 flip
-# discipline); tools/measure_step.py --bf16-feed is the arm.
-BF16_FEED = False
+# STYLE_EINSUM contraction with a bf16 gradient output. Hardware verdict
+# (v5e bf16, on-device scan spans, fresh-process arms,
+# tools/hw_round4_results.jsonl): ON — 4.152 vs 4.307 ms/step at 512px
+# (-3.6%), 20.13 vs 20.925 at 1024 (-3.8%), 92.69 vs 96.39 at 2048
+# (-3.8%).
+BF16_FEED = True
 
 LOSS_NAMES = ('content', 'style', 'deepdream')
 SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')

@@ -38,9 +38,15 @@ from .objective import make_objective
 # interactive single-step path is unchanged (chunk length 1 gains nothing).
 # All optimizer math (L-BFGS two-loop vdots, Adam moments) and the p/
 # temporal losses are pixel-permutation-invariant; TV runs its s2d-domain
-# form (bit-identical, tests/test_ops.py). Default OFF until the
-# fresh-process hardware A/B at 512/1024/2048 (round-3 flip discipline);
-# tools/measure_step.py --s2d-resident is the arm.
+# form (bit-identical, tests/test_ops.py). Hardware verdict (v5e bf16,
+# on-device scan spans, fresh-process arms on top of BF16_FEED,
+# tools/hw_round4_results.jsonl): OFF — wins ~1% at 512/1024 (4.109 vs
+# 4.152 ms/step, 19.944 vs 20.13, chunk 60) but LOSES at 2048 (93.525 vs
+# 92.69, chunk 20): the per-chunk boundary conversion of the 22
+# image-sized state leaves amortizes poorly at short chunks, and the
+# in-scan shuffle it removes turned out cheaper than the round-3 price
+# estimate. A ~1% size-conditional win doesn't justify a conditional
+# default (round-3 flip discipline: ship only winners everywhere).
 S2D_RESIDENT = False
 
 _PRECISIONS = {

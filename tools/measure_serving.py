@@ -222,6 +222,84 @@ async def run_resize(args):
             'resize_latency_s': round(latency, 2)}
 
 
+async def run_converge(args):
+    """Wall-clock to a plateaued loss THROUGH the serving tier, with or
+    without the multi-scale ladder (--ladder N iters/rung): boots the app
+    at --size, starts via WS, and watches iterateInfo until the loss at
+    the TARGET grid stops improving (same plateau rule as bench.py's north
+    star: relative drop per 60-iteration window < 1e-3). The ladder arm
+    measures the automated coarse-to-fine schedule a fresh web session
+    gets (VERDICT r3 #4); run each arm twice in the hw queue — the first
+    pays cold compiles, the second is the measurement."""
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+    from style_transfer2_tpu.serve.app import init
+
+    config = base_config(args)
+    config['adaptive_dispatch'] = str(args.adaptive)
+    config['pipeline_depth'] = str(args.pipeline_depth)
+    if args.latency_target:
+        config['adaptive_latency_target'] = str(args.latency_target)
+    if args.ladder:
+        config['serve_ladder'] = str(args.ladder)
+        config['ladder_min_scale'] = str(args.ladder_min_scale)
+    app = init(config=config)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    tier = app['tier']
+    ws = await client.ws_connect('/websocket')
+    while True:
+        data = json.loads((await asyncio.wait_for(ws.receive(), 1200)).data)
+        if data['type'] == 'workerReady':
+            break
+    t0 = time.perf_counter()
+    await ws.send_str(json.dumps({'type': 'start'}))
+
+    window = 60
+    best_in_window = None
+    prev_window_best = None
+    at_target_since = None
+    frames = 0
+    wall = loss = None
+    deadline = t0 + args.seconds
+    while time.perf_counter() < deadline:
+        msg = await asyncio.wait_for(ws.receive(), 1200)
+        if msg.type != aiohttp.WSMsgType.TEXT:
+            continue
+        data = json.loads(msg.data)
+        if data['type'] != 'iterateInfo':
+            continue
+        frames += 1
+        at_target = (tier.ladder is None and tier.sess.input_arr is not None
+                     and max(tier.sess.input_arr.shape[:2]) == args.size)
+        if not at_target:
+            continue
+        if at_target_since is None:
+            at_target_since = data['i']
+        cur = float(data['trace']['loss'])
+        best_in_window = cur if best_in_window is None else min(
+            best_in_window, cur)
+        if (data['i'] - at_target_since) % window == window - 1:
+            if (prev_window_best is not None
+                    and (prev_window_best - best_in_window)
+                    < 1e-3 * abs(best_in_window)):
+                wall = time.perf_counter() - t0
+                loss = best_in_window
+                break
+            prev_window_best = best_in_window
+            best_in_window = None
+    if wall is None:
+        wall = time.perf_counter() - t0
+        loss = best_in_window if best_in_window is not None else float('nan')
+    result = {'tier': 'app', 'mode': 'converge', 'size': args.size,
+              'precision': args.precision, 'ladder': args.ladder,
+              'iters': frames, 'converged_wall_s': round(wall, 1),
+              'converged_loss': float('%.6g' % loss)}
+    await ws.close()
+    await client.close()
+    return result
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--tier', choices=('app', 'pool'), default='app')
@@ -244,6 +322,13 @@ def main(argv=None):
                         'background first (prewarm_sizes)')
     p.add_argument('--warm-seconds', type=float, default=10.0,
                    help='steady-state window before a --resize-to change')
+    p.add_argument('--converge', action='store_true',
+                   help='measure wall-to-plateaued-loss at --size through '
+                        'the serving tier (--seconds is the cap)')
+    p.add_argument('--ladder', type=int, default=0,
+                   help='with --converge: enable the multi-scale serving '
+                        'ladder at N iters/rung')
+    p.add_argument('--ladder-min-scale', type=int, default=256)
     p.add_argument('--platform', default='')
     args = p.parse_args(argv)
 
@@ -254,7 +339,9 @@ def main(argv=None):
     _jax.config.update('jax_compilation_cache_dir', str(ROOT / '.jax_cache'))
     _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-    if args.resize_to:
+    if args.converge:
+        runner = run_converge
+    elif args.resize_to:
         runner = run_resize
     else:
         runner = run_app if args.tier == 'app' else run_pool
