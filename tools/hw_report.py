@@ -20,7 +20,7 @@ def fmt(v):
 
 def main(argv):
     path = Path(argv[1]) if len(argv) > 1 else (
-        Path(__file__).parent / 'hw_round3_results.jsonl')
+        Path(__file__).parent / 'hw_round4_results.jsonl')
     rows = [json.loads(l) for l in path.read_text().splitlines() if l.strip()]
 
     print('## Hardware results (%s)\n' % path.name)
