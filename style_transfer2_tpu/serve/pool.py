@@ -65,6 +65,7 @@ class PoolSession(sn.Session):
         self.bucket_hw = bucket_hw
         self.last_access = time.monotonic()
         self.last_image_fetch = 0.0
+        self.ladder = None   # active multi-scale schedule (PooledTier)
 
     def touch(self):
         self.last_access = time.monotonic()
@@ -83,6 +84,7 @@ class LaneActions(sn.EngineActions):
         return self.tier.engine_of(self.sess)
 
     async def start(self):
+        await self.tier.maybe_begin_ladder(self.sess)
         # Through the tick lock: toggling running DURING a dispatch makes
         # the post-dispatch accounting emit iterates for a lane that was
         # masked out of it (or drop steps that did apply).
@@ -95,8 +97,12 @@ class LaneActions(sn.EngineActions):
                                   self.sess.lane, False)
 
     async def reset_input(self):
+        self.sess.ladder = None   # a reset restarts the schedule
         await self.tier.engine_op(self.tier.requeue, self.sess,
                                   reset_input=True)
+        # The iterate counter restarts at 1, so a configured ladder
+        # re-begins from its smallest rung.
+        await self.tier.maybe_begin_ladder(self.sess)
 
     async def restart_engine(self):
         # There is no per-session worker to restart; rebuilding the lane
@@ -113,29 +119,9 @@ class LaneActions(sn.EngineActions):
         size = int(size)
         if size == max(self.sess.bucket_hw):
             return size
-        self.tier.check_size_allowed(size)
-        tier = self.tier
-        # Lane allocation happens HERE on the event loop under lane_lock
-        # (atomic vs lookup()); the bucket may need creating first — that
-        # is device work, so it runs on the executor while we hold the
-        # lock (brief, rare: once per new resolution).
-        async with tier.lane_lock:
-            engine = await tier.engine_op(tier.bucket_for, size)
-            new_lane = engine.free_lane()
-            if new_lane is None:
-                raise sn.SizeRejected(
-                    'No capacity at %d px right now; try again later.'
-                    % size)
-            engine.active[new_lane] = True
-        try:
-            await tier.engine_op(tier.migrate, self.sess, size, new_lane)
-        except Exception:
-            engine.active[new_lane] = False  # un-claim; session intact
-            raise
-        if tier.engine_of(self.sess).running[self.sess.lane]:
-            tier.wake.set()
-        h, w = self.sess.bucket_hw
-        self.sess.push('newSize', height=h, width=w)
+        # A user-driven resize overrides the automated ladder schedule.
+        self.sess.ladder = None
+        await self.tier.migrate_session(self.sess, size)
         return size
 
     async def set_optimizer(self, name, step_size):
@@ -357,6 +343,99 @@ class PooledTier:
             raise web.HTTPServiceUnavailable(
                 text='Style Transfer device backend is unavailable; this '
                      'instance is draining.')
+
+    async def migrate_session(self, sess, size):
+        """Moves a session to the bucket serving `size` with warm-started
+        state (the tier-level body of a size change; LaneActions and the
+        pooled ladder both route here). Lane allocation happens on the
+        event loop under lane_lock (atomic vs lookup()); the bucket may
+        need creating first — that is device work, so it runs on the
+        executor while we hold the lock (brief, rare: once per new
+        resolution)."""
+        self.check_size_allowed(size)
+        async with self.lane_lock:
+            engine = await self.engine_op(self.bucket_for, size)
+            new_lane = engine.free_lane()
+            if new_lane is None:
+                raise sn.SizeRejected(
+                    'No capacity at %d px right now; try again later.'
+                    % size)
+            engine.active[new_lane] = True
+        try:
+            await self.engine_op(self.migrate, sess, size, new_lane)
+        except Exception:
+            engine.active[new_lane] = False  # un-claim; session intact
+            raise
+        if self.engine_of(sess).running[sess.lane]:
+            self.wake.set()
+        h, w = sess.bucket_hw
+        sess.push('newSize', height=h, width=w)
+
+    # -- pooled multi-scale ladder --------------------------------------------
+    #
+    # The serving ladder (serve/app.py) for pooled sessions: rungs are the
+    # instance's ALLOWED sizes at or below the session's size, and a rung
+    # advance is a warm-started bucket migration — which also crosses
+    # pool_bucket_devices groups, so a laddering user can start on the
+    # shared small-bucket chips and finish on a dedicated large-bucket one.
+
+    def ladder_rungs(self, sess):
+        per_rung = 0
+        try:
+            per_rung = max(0, int(sess.params.get('ladder', 0) or 0))
+        except (TypeError, ValueError):
+            pass
+        if not per_rung:
+            return 0, []
+        allowed = self.allowed_sizes() or []
+        target = max(sess.bucket_hw)
+        rungs = [s for s in allowed if s <= target]
+        if not rungs or rungs[-1] != target:
+            rungs.append(target)
+        return per_rung, rungs
+
+    async def maybe_begin_ladder(self, sess):
+        """Activates the ladder for a FRESH session (iterate <= 1): migrate
+        down to the smallest allowed rung, then climb via _ladder_tick."""
+        if getattr(sess, 'ladder', None) is not None:
+            return
+        per_rung, rungs = self.ladder_rungs(sess)
+        if len(rungs) < 2 or self.engine_of(sess).t[sess.lane] > 1:
+            return
+        sess.ladder = {'rungs': rungs, 'idx': 0, 'per_rung': per_rung,
+                       'next_at': per_rung, 'migrating': False}
+        logger.info('pooled ladder for %s: %s at %d iters/rung',
+                    sess.session_id, rungs, per_rung)
+        await self.migrate_session(sess, rungs[0])
+
+    def _ladder_tick(self, sess):
+        """Called from the drive fan-out (under tick_lock): schedules the
+        next rung's migration as its OWN task — migrate_session takes the
+        tick lock itself, so it must run after this tick releases it."""
+        lad = getattr(sess, 'ladder', None)
+        if lad is None or lad['migrating'] or sess.i < lad['next_at']:
+            return
+        lad['idx'] += 1
+        if lad['idx'] >= len(lad['rungs']):
+            sess.ladder = None
+            logger.info('pooled ladder for %s complete at %s',
+                        sess.session_id, sess.bucket_hw)
+            return
+        size = lad['rungs'][lad['idx']]
+        lad['migrating'] = True
+
+        async def go():
+            try:
+                await self.migrate_session(sess, size)
+                lad['next_at'] = sess.i + lad['per_rung']
+            except Exception:
+                logger.warning('pooled ladder migration to %d failed; '
+                               'schedule cancelled', size, exc_info=True)
+                sess.ladder = None
+            finally:
+                lad['migrating'] = False
+
+        asyncio.ensure_future(go())
 
     async def engine_op(self, fn, *args, **kwargs):
         """Runs an engine/session mutation atomically with respect to the
@@ -695,6 +774,7 @@ class PooledTier:
                                     engine.lane_image, lane)
                                 sess.last_image_fetch = now
                             sess.note_iterates(engine.t[lane], image, traces)
+                            self._ladder_tick(sess)
                 await asyncio.sleep(0)
         except DeviceTimeoutError:
             logger.critical('drive loop stopped by the device watchdog')

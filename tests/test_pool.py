@@ -634,3 +634,59 @@ def test_pool_bucket_device_subsets():
     finally:
         loop.run_until_complete(client.close())
         loop.close()
+
+
+def test_pooled_ladder_climbs_buckets():
+    """The pooled multi-scale ladder: a fresh session with `ladder` in its
+    params starts in the smallest allowed bucket and migrates up every N
+    iterations with warm-started state, ending in its requested bucket."""
+    from style_transfer2_tpu.serve.pool import init
+
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    config = _config()
+    config['initial_size'] = '48'
+    config['pool_sizes'] = '24 32 48'
+    config['serve_ladder'] = '3'
+    app = init(config=config)
+    jar = loop.run_until_complete(_make_jar(loop))
+    client = TestClient(TestServer(app), loop=loop, cookie_jar=jar)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            tier = app['tier']
+            a = await WSSession(client).open()
+            await a.recv_until('state')
+            sess = next(iter(tier.sessions.values()))
+            target_hw = sess.bucket_hw
+            assert max(target_hw) == 48
+
+            await a.send({'type': 'start'})
+            # Drops to the smallest allowed bucket first.
+            msg = await a.recv_until('newSize')
+            assert max(msg['height'], msg['width']) == 24
+            assert sess.ladder is not None
+
+            # Climbs through 32 to 48, then the schedule clears.
+            seen = [24]
+            for _ in range(400):
+                if sess.ladder is None and sess.bucket_hw == target_hw:
+                    break
+                try:
+                    msg = await asyncio.wait_for(a.ws.receive(), 5)
+                except asyncio.TimeoutError:
+                    continue
+                data = json.loads(msg.data)
+                if data['type'] == 'newSize':
+                    seen.append(max(data['height'], data['width']))
+            assert sess.ladder is None
+            assert sess.bucket_hw == target_hw
+            assert seen == [24, 32, 48], seen
+            # Iterates carried across migrations (warm-started counter).
+            assert sess.i >= 6
+            await a.ws.close()
+
+        loop.run_until_complete(asyncio.wait_for(run(), 600))
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
