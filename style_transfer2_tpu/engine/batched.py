@@ -73,8 +73,14 @@ class BatchedStyleTransfer:
 
         zero_img = jnp.zeros((1,) + self.hw + (3,), jnp.float32)
         mod = OPTIMIZERS[optimizer]
-        lane_state = (mod.init(zero_img, n_corr) if optimizer == 'lbfgs'
-                      else mod.init(zero_img))
+        self._history_dtype = None
+        if optimizer == 'lbfgs':
+            from ..optim import lbfgs as _lbfgs
+            if _lbfgs.BF16_HISTORY and compute_dtype == jnp.bfloat16:
+                self._history_dtype = jnp.bfloat16
+        lane_state = (mod.init(zero_img, n_corr,
+                               history_dtype=self._history_dtype)
+                      if optimizer == 'lbfgs' else mod.init(zero_img))
         feats = self.model.forward(zero_img)
         self._content_dtype = content_store_dtype(compute_dtype)
         lane_inputs = {
@@ -173,7 +179,8 @@ class BatchedStyleTransfer:
         }
         if lane_state is None:
             mod = OPTIMIZERS[self.optimizer_name]
-            lane_state = (mod.init(input_x, self.n_corr)
+            lane_state = (mod.init(input_x, self.n_corr,
+                                   history_dtype=self._history_dtype)
                           if self.optimizer_name == 'lbfgs'
                           else mod.init(input_x))
 

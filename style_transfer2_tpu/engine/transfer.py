@@ -197,6 +197,16 @@ class StyleTransfer:
         self._start()
         self.objective_changed()
 
+    def _lbfgs_history_dtype(self):
+        """Storage dtype for fresh L-BFGS curvature buffers: bf16 in the
+        bf16 speed mode when optim.lbfgs.BF16_HISTORY is on (f32 parity
+        mode always keeps f32 — golden tests untouched)."""
+        from ..optim import lbfgs as _lbfgs
+        _, compute_dtype = precision_config(self.precision)
+        if _lbfgs.BF16_HISTORY and compute_dtype == jnp.bfloat16:
+            return jnp.bfloat16
+        return None
+
     def reset(self):
         self.norm_vals = {}
         self.norm_set = {}
@@ -205,7 +215,8 @@ class StyleTransfer:
             mod = OPTIMIZERS[self.optimizer_name]
             if self.optimizer_name == 'lbfgs':
                 self.opt_state = self._place_state(
-                    mod.init(self._input, self.n_corr))
+                    mod.init(self._input, self.n_corr,
+                             history_dtype=self._lbfgs_history_dtype()))
                 self._needs_init = True
             else:
                 self.opt_state = self._place_state(mod.init(self._input))

@@ -37,21 +37,39 @@ from ..ops.resample import resize_nhwc
 N_CORR_DEFAULT = 10
 SY_MIN = 1e-10
 
+# BF16_HISTORY: store the (s, y) curvature pairs in bfloat16 (bf16 engine
+# mode only — the engine passes history_dtype; float32 parity mode always
+# keeps f32 buffers). The two-loop reads the WHOLE history twice per step
+# (~350 MB of f32 at 1024px), so halving its width trims real HBM time;
+# the s/y values are stored-then-read verbatim (never accumulated in
+# bf16), every dot accumulates f32 via preferred_element_type, and sy is
+# computed from the full-precision pair BEFORE the store. Default OFF
+# pending the hardware A/B (tools/measure_step.py --bf16-history).
+BF16_HISTORY = False
+
 
 def _vdot(a, b):
-    return jnp.vdot(a.ravel(), b.ravel())
+    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        return jnp.vdot(a.ravel(), b.ravel())
+    # Mixed/low-precision operands: contract with f32 accumulation without
+    # materializing upcast copies.
+    return jnp.einsum('i,i->', a.ravel(), b.ravel(),
+                      preferred_element_type=jnp.float32)
 
 
-def init(x, n_corr=N_CORR_DEFAULT):
+def init(x, n_corr=N_CORR_DEFAULT, history_dtype=None):
     """Fresh L-BFGS state around the iterate x. The (loss, grad) cache starts
-    empty; run initial_eval before the first step."""
+    empty; run initial_eval before the first step. history_dtype (default
+    float32) is the storage dtype of the curvature buffers — see
+    BF16_HISTORY."""
     x = jnp.asarray(x, jnp.float32)
+    hist = jnp.float32 if history_dtype is None else history_dtype
     return {
         'x': x,
         'loss': jnp.float32(0.0),
         'grad': jnp.zeros_like(x),
-        'sk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
-        'yk': jnp.zeros((n_corr,) + x.shape, jnp.float32),
+        'sk': jnp.zeros((n_corr,) + x.shape, hist),
+        'yk': jnp.zeros((n_corr,) + x.shape, hist),
         'syk': jnp.zeros((n_corr,), jnp.float32),
         'count': jnp.int32(0),
         'pos': jnp.int32(0),  # next write slot (circular)
@@ -120,9 +138,11 @@ def store_curvature_pair(state, s, y):
     accept = sy > SY_MIN
     n_corr = state['sk'].shape[0]
     pos = state['pos']
+    hist = state['sk'].dtype
     # On reject, rewrite the slot with its current contents (no-op write).
-    s_w = jnp.where(accept, s, state['sk'][pos])
-    y_w = jnp.where(accept, y, state['yk'][pos])
+    # The store rounds to the history dtype; sy above used full precision.
+    s_w = jnp.where(accept, s.astype(hist), state['sk'][pos])
+    y_w = jnp.where(accept, y.astype(hist), state['yk'][pos])
     sy_w = jnp.where(accept, sy, state['syk'][pos])
     sk = state['sk'].at[pos].set(s_w)
     yk = state['yk'].at[pos].set(y_w)
@@ -160,7 +180,9 @@ def step(state, opfunc, step_size):
 def objective_changed(state, n_corr=None):
     """Clears the curvature history and the cached evaluation
     (optimizers.py:121-125). The caller must re-prime via initial_eval."""
-    return init(state['x'], state['sk'].shape[0] if n_corr is None else n_corr)
+    return init(state['x'],
+                state['sk'].shape[0] if n_corr is None else n_corr,
+                history_dtype=state['sk'].dtype)
 
 
 def resample(state, hw, new_x=None):
@@ -170,4 +192,4 @@ def resample(state, hw, new_x=None):
         x = jnp.asarray(new_x, jnp.float32)
     else:
         x = resize_nhwc(state['x'], tuple(hw), 'lanczos3')
-    return init(x, state['sk'].shape[0])
+    return init(x, state['sk'].shape[0], history_dtype=state['sk'].dtype)

@@ -192,3 +192,48 @@ def test_bf16_loss_feed_flags():
             rtol = 0.1 if step == 0 else 0.75
             np.testing.assert_allclose(t['loss'], t16['loss'], rtol=rtol,
                                        err_msg='%s@%d' % (flags, step))
+
+
+def test_bf16_history_tracks_f32_history():
+    """BF16_HISTORY stores the L-BFGS curvature pairs in bf16 (bf16 engine
+    mode only): the trajectory tracks the f32-history bf16 run, the buffers
+    actually store bf16, warm resamples preserve the dtype, and f32 parity
+    mode keeps f32 buffers regardless of the flag."""
+    import jax.numpy as jnp
+
+    from style_transfer2_tpu.optim import lbfgs
+
+    orig = lbfgs.BF16_HISTORY
+
+    def run(flag, precision):
+        lbfgs.BF16_HISTORY = flag
+        try:
+            rng = np.random.RandomState(11)
+            st = StyleTransfer(random_params(6), precision=precision)
+            st.set_weights(WEIGHTS, SCALARS)
+            st.set_optimizer('lbfgs')
+            st.set_step_size(1.0)
+            st.set_content(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            st.set_style(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            st.set_input(rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))
+            assert st.start()
+            traces = [st.step()[1] for _ in range(4)]
+            st.resample_input((16, 16))
+            st.resample_content((16, 16))
+            st.step()
+            return st, traces
+        finally:
+            lbfgs.BF16_HISTORY = orig
+
+    st32, base = run(False, 'bfloat16')
+    assert st32.opt_state['sk'].dtype == jnp.float32
+    st16, feed = run(True, 'bfloat16')
+    assert st16.opt_state['sk'].dtype == jnp.bfloat16   # survives resample
+    assert st16.opt_state['syk'].dtype == jnp.float32
+    for step, (tf, tb) in enumerate(zip(feed, base)):
+        rtol = 0.02 if step == 0 else 0.5
+        np.testing.assert_allclose(tf['loss'], tb['loss'], rtol=rtol,
+                                   err_msg='step %d' % step)
+    # f32 parity mode ignores the flag entirely.
+    stp, _ = run(True, 'float32')
+    assert stp.opt_state['sk'].dtype == jnp.float32

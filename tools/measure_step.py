@@ -130,6 +130,10 @@ def main(argv=None):
                    default=None,
                    help='steps.S2D_RESIDENT: iterate + optimizer state stay '
                         'in s2d layout across the fused scan chunk')
+    p.add_argument('--bf16-history', action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help='lbfgs.BF16_HISTORY: curvature pairs stored bf16 '
+                        '(bf16 mode only; dots still accumulate f32)')
     p.add_argument('--platform', default='')
     p.add_argument('--keep-trace', default='',
                    help='keep the profiler trace at this directory')
@@ -156,6 +160,9 @@ def main(argv=None):
     from style_transfer2_tpu.engine import steps as _steps
     if args.s2d_resident is not None:
         _steps.S2D_RESIDENT = args.s2d_resident
+    from style_transfer2_tpu.optim import lbfgs as _lbfgs
+    if args.bf16_history is not None:
+        _lbfgs.BF16_HISTORY = args.bf16_history
 
     import numpy as np
     from PIL import Image
@@ -252,6 +259,7 @@ def main(argv=None):
         'style_einsum': _objective.STYLE_EINSUM,
         'bf16_feed': _objective.BF16_FEED,
         's2d_resident': _steps.S2D_RESIDENT,
+        'bf16_history': _lbfgs.BF16_HISTORY,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
