@@ -365,25 +365,31 @@ def bench_video(params, style):
                       temporal_weight=1000.0, precision='bfloat16', seed=0)
     v.set_style(style)
 
+    from style_transfer2_tpu.utils import as_pil
+
     outs = []
     t0 = time.perf_counter()
     t_first = None
-    pending = None
-    for i, frame in enumerate(frames):
-        d = v.begin_frame(frame)
-        if i == 0 and len(frames) > 1:
-            v.prewarm_temporal(frame.shape[:2])
-        if pending is not None:
-            img, _ = v.collect_frame(pending)
+    pending = []
+
+    def drain(batch):
+        nonlocal t_first
+        for img, _ in v.collect_frames(batch):
             buf = io.BytesIO()
-            from style_transfer2_tpu.utils import as_pil
             as_pil(img).save(buf, format='png')   # host I/O in the loop
             outs.append(img)
             if t_first is None:
                 t_first = time.perf_counter() - t0
-        pending = d
-    img, _ = v.collect_frame(pending)
-    outs.append(img)
+
+    for i, frame in enumerate(frames):
+        pending.append(v.begin_frame(frame))
+        if i == 0 and len(frames) > 1:
+            v.prewarm_temporal(frame.shape[:2])
+        if len(pending) > 2:                      # collect pairs, keep 1
+            batch, pending = pending[:2], pending[2:]
+            drain(batch)
+    if pending:
+        drain(pending)
     total = time.perf_counter() - t0
     if t_first is None:
         t_first = total

@@ -238,8 +238,14 @@ class StyleTransfer:
                     self.is_starting = False
                     self.is_running = True
 
-    def set_input(self, image):
-        image = self._place_image(vgg19.preprocess(image))
+    def set_input(self, image, preprocessed=False):
+        """Sets the optimization iterate. preprocessed=True means `image`
+        is ALREADY a (1, H, W, 3) float32 mean-subtracted device array
+        (video mode prepares the next frame's warm start as one fused
+        device op on the previous frame's async output — re-preprocessing
+        would double-subtract and cost an extra dispatch)."""
+        image = self._place_image(image if preprocessed
+                                  else vgg19.preprocess(image))
         if self._input is not None and self._input.shape == image.shape:
             self._input = image
             if self.opt_state is not None:
@@ -313,10 +319,13 @@ class StyleTransfer:
         self._weights_cache = None
         self.objective_changed()
 
-    def set_temporal(self, image, weight):
+    def set_temporal(self, image, weight, preprocessed=False):
         """Enables the video temporal-consistency loss toward a previous
-        stylized frame (HxWx3 RGB). Changes the objective."""
-        self.temporal_target = self._place_image(vgg19.preprocess(image))
+        stylized frame (HxWx3 RGB; preprocessed=True accepts a ready
+        (1, H, W, 3) mean-subtracted array — see set_input). Changes the
+        objective."""
+        self.temporal_target = self._place_image(
+            image if preprocessed else vgg19.preprocess(image))
         self.scalar_params['temporal'] = float(weight)
         self._weights_cache = None
         self.objective_changed()
@@ -475,16 +484,7 @@ class StyleTransfer:
         self.t += n_steps
         return StepsDispatch(spec, traces, n_steps, self.t, image)
 
-    def collect_steps(self, dispatch, fetch_image=True):
-        """Blocks on a begin_steps handle and materializes its results:
-        appends one Trace per iteration and returns (image-or-None, traces).
-        The image is the iterate as of the END of that dispatch — computed
-        on device as a scan output of its own, so it survives the state
-        donation even when later dispatches are already in flight."""
-        self._flush_pending_prime()
-        # One host transfer for all n_steps traces.
-        columns = [np.asarray(col) for col in jax.device_get(dispatch.traces)]
-        now = time.perf_counter()
+    def _materialize_traces(self, dispatch, columns, now):
         out = []
         for i in range(dispatch.n_steps):
             trace = Trace()
@@ -495,8 +495,43 @@ class StyleTransfer:
             trace('fevals', dispatch.t_end - dispatch.n_steps + 1 + i)
             self.traces.append(trace)
             out.append(trace)
+        return out
+
+    def collect_steps(self, dispatch, fetch_image=True):
+        """Blocks on a begin_steps handle and materializes its results:
+        appends one Trace per iteration and returns (image-or-None, traces).
+        The image is the iterate as of the END of that dispatch — computed
+        on device as a scan output of its own, so it survives the state
+        donation even when later dispatches are already in flight."""
+        self._flush_pending_prime()
+        # One host transfer for all n_steps traces.
+        columns = [np.asarray(col) for col in jax.device_get(dispatch.traces)]
+        traces = self._materialize_traces(dispatch, columns,
+                                          time.perf_counter())
         image = np.asarray(dispatch.image) if fetch_image else None
-        return image, out
+        return image, traces
+
+    def collect_steps_many(self, dispatches, fetch_image=True):
+        """Blocks on SEVERAL begin_steps handles with ONE host transfer:
+        a single device_get covers every handle's traces and images, so a
+        tunneled backend pays one link round trip per BATCH of dispatches
+        instead of one per dispatch (video mode collects frames in pairs
+        this way). Handles must be this engine's, consecutive, in dispatch
+        order. Returns [(image-or-None, traces), ...]."""
+        self._flush_pending_prime()
+        payload = [d.traces for d in dispatches]
+        if fetch_image:
+            payload.append([d.image for d in dispatches])
+        fetched = jax.device_get(payload)
+        images = fetched.pop() if fetch_image else [None] * len(dispatches)
+        now = time.perf_counter()
+        out = []
+        for dispatch, cols, image in zip(dispatches, fetched, images):
+            columns = [np.asarray(c) for c in cols]
+            traces = self._materialize_traces(dispatch, columns, now)
+            out.append((None if image is None else np.asarray(image),
+                        traces))
+        return out
 
     def run_steps(self, n_steps, fetch_image=True):
         """Runs n_steps optimizer iterations fused into ONE device dispatch

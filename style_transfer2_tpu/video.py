@@ -74,8 +74,9 @@ class VideoStylizer:
         self.steps_per_dispatch = steps_per_dispatch
         self.rng = np.random.RandomState(seed)
         self.prev_stylized = None
-        self._prev_dev = None    # device (H, W, 3) clipped stylized frame
+        self._prev_pre = None    # device (1, H, W, 3) PREPROCESSED prev frame
         self._prewarm_thread = None
+        self._prepare = None     # fused clip+preprocess, jitted lazily
 
     def set_style(self, style_image):
         self.st.set_style(style_image)
@@ -103,25 +104,38 @@ class VideoStylizer:
         target from the (possibly still in-flight) previous frame, and the
         fused scan. Returns a handle for collect_frame; handles must be
         collected in order."""
-        import jax.numpy as jnp
         st = self.st
-        first = self._prev_dev is None
+        first = self._prev_pre is None
         st.set_content(frame)
         if first:
             init = self.rng.uniform(0, 255, frame.shape).astype(np.uint8)
             st.set_input(init)
             n = self.first_iterations
         else:
-            st.set_input(self._prev_dev)
-            st.set_temporal(self._prev_dev, self.temporal_weight)
+            # The warm start and the temporal target are the same VALUE,
+            # but must be distinct BUFFERS: the iterate is donated into the
+            # scan while the target rides the non-donated inputs, and XLA
+            # rejects one buffer appearing on both sides (jnp.copy is one
+            # tiny device op vs. the preprocess dispatch it replaces).
+            import jax.numpy as jnp
+            st.set_input(self._prev_pre, preprocessed=True)
+            st.set_temporal(jnp.copy(self._prev_pre), self.temporal_weight,
+                            preprocessed=True)
             n = self.iterations
         st.is_starting = True
         st._start()
         assert st.is_running, 'engine failed to start'
         dispatch = st.begin_steps(n)
-        # The next frame's warm start / temporal target, as a device op on
-        # the async scan output (matches the serial path's host-side clip).
-        self._prev_dev = jnp.clip(dispatch.image, 0, 255)
+        # The next frame's warm start / temporal target, as ONE fused
+        # device op on the async scan output (clip to [0,255] like the
+        # serial path's host-side clip, then mean-subtract).
+        if self._prepare is None:
+            import jax
+            import jax.numpy as jnp
+            from .models import vgg19
+            self._prepare = jax.jit(
+                lambda img: vgg19.preprocess(jnp.clip(img, 0, 255)))
+        self._prev_pre = self._prepare(dispatch.image)
         return dispatch
 
     def collect_frame(self, dispatch):
@@ -130,6 +144,18 @@ class VideoStylizer:
         image, traces = self.st.collect_steps(dispatch, fetch_image=True)
         self.prev_stylized = image
         return image, traces[-1].data
+
+    def collect_frames(self, dispatches):
+        """Blocks on several begin_frame handles with ONE host round trip
+        (StyleTransfer.collect_steps_many): over a tunneled backend the
+        per-collect link RTT is the steady-state floor, so the pipelined
+        driver collects frames in pairs. Returns [(image, trace), ...]."""
+        results = self.st.collect_steps_many(dispatches, fetch_image=True)
+        out = []
+        for image, traces in results:
+            self.prev_stylized = image
+            out.append((image, traces[-1].data))
+        return out
 
     def stylize_frame(self, frame):
         """Serial API: stylizes one frame and blocks for its result."""
@@ -215,36 +241,40 @@ def main(argv=None):
             size_wh = im.fit_into_square(img.size, args.size, scale_up=True)
         return np.uint8(img.resize(size_wh, Image.LANCZOS)), size_wh
 
-    # Pipelined loop: frame N+1's device work is enqueued before frame N's
-    # pixels are fetched, so PNG encode/write and the next frame's
-    # load/resize overlap the device compute (one in-flight frame).
+    # Pipelined loop: later frames' device work is enqueued before earlier
+    # frames' pixels are fetched, so PNG encode/write and frame loads
+    # overlap device compute — and frames COLLECT IN PAIRS through one
+    # host transfer (collect_frames), since over a tunneled backend the
+    # per-collect link round trip is the steady-state floor.
     size_wh = None
     t0 = time.perf_counter()
     t_first = None
-    pending = None  # (dispatch, out_path, index)
+    pending = []  # (dispatch, out_path, index)
+    collect_batch = 2
+
+    def drain(batch):
+        nonlocal t_first
+        results = stylizer.collect_frames([d for d, _, _ in batch])
+        for (d, path0, i0), (image, trace) in zip(batch, results):
+            im.as_pil(image).save(path0)
+            logger.info('frame %d/%d -> %s (loss %.5g)', i0 + 1,
+                        len(frames), path0.name, trace['loss'])
+            if i0 == 0:
+                t_first = time.perf_counter() - t0
+
     for idx, frame_path in enumerate(frames):
         frame, size_wh = load_frame(frame_path, size_wh)
         dispatch = stylizer.begin_frame(frame)
         if idx == 0 and len(frames) > 1:
             # Compile the temporal programs while frame 1 optimizes.
             stylizer.prewarm_temporal((size_wh[1], size_wh[0]))
-        if pending is not None:
-            d0, path0, i0 = pending
-            image, trace = stylizer.collect_frame(d0)
-            im.as_pil(image).save(path0)
-            logger.info('frame %d/%d -> %s (loss %.5g)', i0 + 1, len(frames),
-                        path0.name, trace['loss'])
-            if i0 == 0:
-                t_first = time.perf_counter() - t0
-        pending = (dispatch, out_dir / ('%s_stylized.png' % frame_path.stem),
-                   idx)
-    d0, path0, i0 = pending
-    image, trace = stylizer.collect_frame(d0)
-    im.as_pil(image).save(path0)
-    logger.info('frame %d/%d -> %s (loss %.5g)', i0 + 1, len(frames),
-                path0.name, trace['loss'])
-    if i0 == 0:
-        t_first = time.perf_counter() - t0
+        pending.append(
+            (dispatch, out_dir / ('%s_stylized.png' % frame_path.stem), idx))
+        if len(pending) > collect_batch:   # keep the newest in flight
+            batch, pending = pending[:collect_batch], pending[collect_batch:]
+            drain(batch)
+    if pending:
+        drain(pending)
     dt = time.perf_counter() - t0
     steady = (dt - (t_first or dt)) / max(len(frames) - 1, 1)
     logger.info('stylized %d frames in %.1fs (first frame %.1fs, '
