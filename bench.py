@@ -385,8 +385,8 @@ def bench_video(params, style):
         pending.append(v.begin_frame(frame))
         if i == 0 and len(frames) > 1:
             v.prewarm_temporal(frame.shape[:2])
-        if len(pending) > 2:                      # collect pairs, keep 1
-            batch, pending = pending[:2], pending[2:]
+        if len(pending) > 3:                      # collect triples, keep 1
+            batch, pending = pending[:3], pending[3:]
             drain(batch)
     if pending:
         drain(pending)

@@ -174,7 +174,8 @@ def _d2s_state(tree, hw):
 @functools.lru_cache(maxsize=64)
 def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
                   b1=adam.B1_DEFAULT, b2=adam.B2_DEFAULT,
-                  use_pallas=False, remat=False, block1_s2d=True):
+                  use_pallas=False, remat=False, block1_s2d=True,
+                  primed=False):
     """K optimizer steps fused into one dispatch via lax.scan.
 
     scan_fn(params, state, inputs, step_size)
@@ -192,12 +193,22 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
     back on exit — persistent engine state stays full-res, so interactive
     steps, checkpoints and resamples are untouched. The flag is read at
     trace time (fresh process per hardware arm, like the other perf flags).
+
+    primed=True (L-BFGS only) additionally runs the initial (loss, grad)
+    evaluation INSIDE the same program before the scan, returning its
+    trace as a fifth output — one dispatch instead of two when the
+    (loss, grad) cache is stale (every video frame; every serving
+    dispatch right after a control change):
+      scan_fn(...) -> (state', norms', traces, image, prime_trace)
     """
-    step_core, _ = build_step_core(spec, optimizer, precision, b1, b2,
-                                   use_pallas, remat, block1_s2d)
-    step_core_s2d, _ = build_step_core(spec, optimizer, precision, b1, b2,
-                                       use_pallas, remat, block1_s2d,
-                                       input_s2d=True)
+    step_core, eval_core = build_step_core(spec, optimizer, precision, b1,
+                                           b2, use_pallas, remat, block1_s2d)
+    step_core_s2d, eval_core_s2d = build_step_core(
+        spec, optimizer, precision, b1, b2, use_pallas, remat, block1_s2d,
+        input_s2d=True)
+    if primed and eval_core is None:
+        raise ValueError('primed scan requires an optimizer with an '
+                         'initial evaluation (lbfgs)')
     _, compute_dtype = precision_config(precision)
 
     def scan_fn(params, state, inputs, step_size):
@@ -209,12 +220,20 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
             and hw[0] % 2 == 0 and hw[1] % 2 == 0
             and 'data' not in spec.layers and spec.layers)
         core = step_core_s2d if resident else step_core
+        ecore = eval_core_s2d if resident else eval_core
         if resident:
             state = _s2d_state(state, hw)
             if inputs.get('temporal_target') is not None:
                 inputs = dict(inputs)
                 inputs['temporal_target'] = _s2d_state(
                     inputs['temporal_target'], hw)
+
+        norms_vals = inputs['norms_vals']
+        norms_set = inputs['norms_set']
+        prime_trace = None
+        if primed:
+            state, (norms_vals, norms_set), prime_trace = ecore(
+                params, state, inputs)
 
         def body(carry, _):
             state, norms_vals, norms_set = carry
@@ -225,12 +244,14 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
                                            step_size)
             return (state_new, norms[0], norms[1]), trace
 
-        init = (state, inputs['norms_vals'], inputs['norms_set'])
+        init = (state, norms_vals, norms_set)
         (state, norms_vals, norms_set), traces = jax.lax.scan(
             body, init, None, length=n_steps)
         if resident:
             state = _d2s_state(state, hw)
         image = vgg19.deprocess(state['x'])
+        if primed:
+            return state, (norms_vals, norms_set), traces, image, prime_trace
         return state, (norms_vals, norms_set), traces, image
 
     return jax.jit(scan_fn, donate_argnums=(1,))

@@ -461,21 +461,29 @@ class StyleTransfer:
         Returns a handle for collect_steps. Handles MUST be collected in
         dispatch order (self.traces is append-ordered)."""
         spec = self.spec()
-        _, eval_fn = build_step_fns(spec, self.optimizer_name, self.precision,
-                                    use_pallas=self.use_pallas,
-                                    remat=self.remat,
-                                    block1_s2d=self.block1_s2d)
-        # Lazy priming: the eval's trace transfer would block on every
-        # in-flight dispatch; it materializes at the next collect instead.
-        self._prime_if_needed(spec, eval_fn, lazy=True)
-
+        # A stale L-BFGS (loss, grad) cache primes INSIDE the scan program
+        # (primed=True): one dispatch instead of eval + scan — the common
+        # case for every video frame and every serving dispatch right
+        # after a control change. The prime trace defers like the lazy
+        # prime (materialized at the next collect, in dispatch order).
+        primed = self._needs_init and self.optimizer_name == 'lbfgs'
         scan_fn = build_scan_fn(spec, self.optimizer_name, self.precision,
                                 n_steps, use_pallas=self.use_pallas,
                                 remat=self.remat,
-                                block1_s2d=self.block1_s2d)
+                                block1_s2d=self.block1_s2d,
+                                primed=primed)
         inputs = self._gather_inputs(spec)
-        self.opt_state, norms, traces, image = scan_fn(
-            self.params, self.opt_state, inputs, self._step_size_device())
+        if primed:
+            self._flush_pending_prime()
+            self.opt_state, norms, traces, image, prime_trace = scan_fn(
+                self.params, self.opt_state, inputs,
+                self._step_size_device())
+            self._pending_prime = (spec, prime_trace)
+            self._needs_init = False
+        else:
+            self.opt_state, norms, traces, image = scan_fn(
+                self.params, self.opt_state, inputs,
+                self._step_size_device())
         self._input = self.opt_state['x']
         norms_vals, norms_set = norms
         for key in spec.norm_keys:

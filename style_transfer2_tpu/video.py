@@ -112,29 +112,32 @@ class VideoStylizer:
             st.set_input(init)
             n = self.first_iterations
         else:
-            # The warm start and the temporal target are the same VALUE,
-            # but must be distinct BUFFERS: the iterate is donated into the
-            # scan while the target rides the non-donated inputs, and XLA
-            # rejects one buffer appearing on both sides (jnp.copy is one
-            # tiny device op vs. the preprocess dispatch it replaces).
-            import jax.numpy as jnp
-            st.set_input(self._prev_pre, preprocessed=True)
-            st.set_temporal(jnp.copy(self._prev_pre), self.temporal_weight,
+            pre, pre_copy = self._prev_pre
+            st.set_input(pre, preprocessed=True)
+            st.set_temporal(pre_copy, self.temporal_weight,
                             preprocessed=True)
             n = self.iterations
         st.is_starting = True
         st._start()
         assert st.is_running, 'engine failed to start'
         dispatch = st.begin_steps(n)
-        # The next frame's warm start / temporal target, as ONE fused
-        # device op on the async scan output (clip to [0,255] like the
-        # serial path's host-side clip, then mean-subtract).
+        # The next frame's warm start + temporal target, as ONE fused
+        # device program on the async scan output (clip to [0,255] like
+        # the serial path's host-side clip, then mean-subtract). The two
+        # outputs are the same VALUE in distinct BUFFERS (the explicit
+        # copy HLO): the warm start is donated into the next scan while
+        # the target rides its non-donated inputs, and XLA rejects one
+        # buffer appearing on both sides.
         if self._prepare is None:
             import jax
             import jax.numpy as jnp
             from .models import vgg19
-            self._prepare = jax.jit(
-                lambda img: vgg19.preprocess(jnp.clip(img, 0, 255)))
+
+            def prep(img):
+                pre = vgg19.preprocess(jnp.clip(img, 0, 255))
+                return pre, jnp.copy(pre)
+
+            self._prepare = jax.jit(prep)
         self._prev_pre = self._prepare(dispatch.image)
         return dispatch
 
@@ -250,7 +253,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     t_first = None
     pending = []  # (dispatch, out_path, index)
-    collect_batch = 2
+    collect_batch = 3
 
     def drain(batch):
         nonlocal t_first
