@@ -39,15 +39,19 @@ from .objective import make_objective
 # All optimizer math (L-BFGS two-loop vdots, Adam moments) and the p/
 # temporal losses are pixel-permutation-invariant; TV runs its s2d-domain
 # form (bit-identical, tests/test_ops.py). Hardware verdict (v5e bf16,
-# on-device scan spans, fresh-process arms on top of BF16_FEED,
-# tools/hw_round4_results.jsonl): OFF — wins ~1% at 512/1024 (4.109 vs
-# 4.152 ms/step, 19.944 vs 20.13, chunk 60) but LOSES at 2048 (93.525 vs
-# 92.69, chunk 20): the per-chunk boundary conversion of the 22
-# image-sized state leaves amortizes poorly at short chunks, and the
-# in-scan shuffle it removes turned out cheaper than the round-3 price
-# estimate. A ~1% size-conditional win doesn't justify a conditional
-# default (round-3 flip discipline: ship only winners everywhere).
-S2D_RESIDENT = False
+# on-device scan spans, fresh-process arms, tools/hw_round4_results.jsonl):
+# the win is GATED — the per-chunk boundary conversion of the 22
+# image-sized state leaves amortizes only over long chunks, and the
+# in-scan shuffle it removes only matters at large grids. On the final
+# round-4 defaults (BF16_FEED + BF16_HISTORY): 1024px chunk-60 19.212 vs
+# 19.788 ms/step (-2.9%), 2048px chunk-60 88.149 vs 89.721 (-1.75%); but
+# 512px chunk-60 4.057 vs 4.039 (noise-negative) and 2048px chunk-20
+# LOST 0.9% in the feed-only arms. Default 'auto' = resident only for
+# grids >= ~500k pixels AND chunks >= 40 steps — exactly the measured-win
+# region; True forces it everywhere legal, False disables.
+S2D_RESIDENT = 'auto'
+S2D_RESIDENT_MIN_PIXELS = 500_000
+S2D_RESIDENT_MIN_STEPS = 40
 
 _PRECISIONS = {
     # Parity mode: HIGHEST runs f32 matmuls/convs via multi-pass bf16
@@ -214,8 +218,11 @@ def build_scan_fn(spec, optimizer, precision='float32', n_steps=10,
     def scan_fn(params, state, inputs, step_size):
         from ..models import vgg19
         hw = tuple(state['x'].shape[1:3])
+        auto_ok = (S2D_RESIDENT != 'auto'
+                   or (hw[0] * hw[1] >= S2D_RESIDENT_MIN_PIXELS
+                       and n_steps >= S2D_RESIDENT_MIN_STEPS))
         resident = (
-            S2D_RESIDENT and compute_dtype == jnp.bfloat16
+            S2D_RESIDENT and auto_ok and compute_dtype == jnp.bfloat16
             and bool(vgg19.BLOCK1_S2D) and block1_s2d and not use_pallas
             and hw[0] % 2 == 0 and hw[1] % 2 == 0
             and 'data' not in spec.layers and spec.layers)
