@@ -280,13 +280,33 @@ class SingleSessionTier(sn.EngineActions):
         except (TypeError, ValueError):
             return 0
 
-    async def _maybe_begin_ladder(self):
+    def _ladder_target_hw(self):
+        """The ladder's TARGET grid: the params document's requested size at
+        the content image's aspect (NOT the current input grid — mid-ladder
+        the input sits at a rung, and a reset must still climb back to what
+        the user asked for)."""
+        sess = self.sess
+        try:
+            size = self._snap(int(sess.params.get('size')))
+        except (TypeError, ValueError):
+            return (None if sess.input_arr is None
+                    else tuple(sess.input_arr.shape[:2]))
+        img = sess.content_image
+        if img is None:
+            return (None if sess.input_arr is None
+                    else tuple(sess.input_arr.shape[:2]))
+        return self._snap_grid(
+            utils.fit_into_square((img.height, img.width), size, True))
+
+    async def _maybe_begin_ladder(self, force=False):
         per_rung = self._ladder_iters()
         sess = self.sess
-        if (not per_rung or self.ladder is not None or sess.i > 1
-                or sess.input_arr is None):
+        if (not per_rung or self.ladder is not None
+                or (sess.i > 1 and not force) or sess.input_arr is None):
             return
-        target_hw = tuple(sess.input_arr.shape[:2])
+        target_hw = self._ladder_target_hw()
+        if target_hw is None:
+            return
         min_scale = self.config.getint('ladder_min_scale', 96)
         rungs = []
         for hw in utils.scales(target_hw, min_size=min_scale):
@@ -295,24 +315,41 @@ class SingleSessionTier(sn.EngineActions):
                 rungs.append(s)
         if len(rungs) < 2:
             return
+        # A rung's iteration budget starts counting when its GRID takes
+        # effect ('await_grid'): under pipelined dispatch, iterates from
+        # chunks dispatched at the previous grid keep arriving after the
+        # advance, and counting those would burn the new rung's budget on
+        # old-grid work (they also make a reset's stale in-flight iterates
+        # harmless — the schedule won't move until rung 0's grid shows up).
         self.ladder = {'rungs': rungs, 'idx': 0, 'per_rung': per_rung,
-                       'next_at': per_rung}
+                       'next_at': None, 'await_grid': tuple(rungs[0])}
         logger.info('serving ladder: %s at %d iters/rung', rungs, per_rung)
         await self._change_grid(rungs[0])
         await self._to_driver(m.Prewarm([rungs[1]]))
 
     async def _ladder_tick(self):
         lad = self.ladder
-        if lad is None or self.sess.i < lad['next_at']:
+        sess = self.sess
+        if lad is None:
+            return
+        if lad.get('await_grid'):
+            if (sess.input_arr is None
+                    or tuple(sess.input_arr.shape[:2]) != lad['await_grid']):
+                return   # still draining old-grid in-flight iterates
+            lad['await_grid'] = None
+            lad['next_at'] = sess.i + lad['per_rung']
+            return
+        if sess.i < lad['next_at']:
             return
         lad['idx'] += 1
         if lad['idx'] >= len(lad['rungs']):
             self.ladder = None
             logger.info('serving ladder complete at %s',
-                        tuple(self.sess.input_arr.shape[:2]))
+                        tuple(sess.input_arr.shape[:2]))
             return
         hw = lad['rungs'][lad['idx']]
-        lad['next_at'] = self.sess.i + lad['per_rung']
+        lad['await_grid'] = tuple(hw)
+        lad['next_at'] = None
         logger.info('serving ladder: advancing to %s', hw)
         await self._change_grid(hw)
         if lad['idx'] + 1 < len(lad['rungs']):
@@ -350,11 +387,12 @@ class SingleSessionTier(sn.EngineActions):
         sess.input_was_reset = True
         await self._to_driver(m.SetImages(input_image=image,
                                           reset_state=True))
-        # A reset restarts the coarse-to-fine schedule from rung 0 (the
-        # iterate counter restarts at 1 with the fresh random input).
+        # A reset restarts the coarse-to-fine schedule from rung 0 toward
+        # the params-requested size (force bypasses the fresh-session
+        # check; the await_grid gate makes stale in-flight iterates from
+        # before the reset harmless to the restarted schedule).
         self.ladder = None
-        sess.i = 0
-        await self._maybe_begin_ladder()
+        await self._maybe_begin_ladder(force=True)
 
     async def restart_engine(self):
         self.sess.running = False

@@ -428,10 +428,24 @@ class PooledTier:
             try:
                 await self.migrate_session(sess, size)
                 lad['next_at'] = sess.i + lad['per_rung']
+                lad['retries'] = 0
             except Exception:
-                logger.warning('pooled ladder migration to %d failed; '
-                               'schedule cancelled', size, exc_info=True)
-                sess.ladder = None
+                # Transient failures (e.g. the target bucket momentarily
+                # full while another session migrates through) RETRY after
+                # another rung-budget's worth of iterations; only repeated
+                # failure cancels the schedule.
+                lad['retries'] = lad.get('retries', 0) + 1
+                lad['idx'] -= 1
+                if lad['retries'] > 3:
+                    logger.warning('pooled ladder migration to %d failed '
+                                   '%d times; schedule cancelled', size,
+                                   lad['retries'], exc_info=True)
+                    sess.ladder = None
+                else:
+                    lad['next_at'] = sess.i + lad['per_rung']
+                    logger.info('pooled ladder migration to %d failed '
+                                '(attempt %d); will retry', size,
+                                lad['retries'])
             finally:
                 lad['migrating'] = False
 
