@@ -75,6 +75,22 @@ STYLE_EINSUM = True
 # (-3.6%), 20.13 vs 20.925 at 1024 (-3.8%), 92.69 vs 96.39 at 2048
 # (-3.8%).
 BF16_FEED = True
+# STYLE_FOLD: fold the style gradient's scalar chain into the (c, c)
+# gram_diff BEFORE the gradient contraction, and derive rms(s_raw) in the
+# Gram domain: sumsq(s_raw)/size == sum((gd @ gd) * gram) EXACTLY (the
+# rows of s_raw are gd^T v_p, so the sum of squares is tr(gd G_raw gd)
+# with G_raw = size*gram; verified numerically and in
+# tests/test_bf16.py::test_style_fold_tracks_feed). The big-tensor scalar
+# multiply — whose output paid a measured layout-flip copy feeding the
+# vjp (0.32 ms/step at 1024px, 1.32 at 2048: the 'mul' copy in the
+# round-4 final traces) — and the full-tensor sum-of-squares pass both
+# cease to exist; per style layer only the Gram einsum and ONE gradient
+# einsum touch the tap. BF16_FEED branch only; float32 parity untouched.
+# Hardware verdict (v5e bf16, on-device scan spans, fresh-process arms,
+# tools/hw_round4_results.jsonl part 12): PENDING — measure at 512/1024/
+# 2048 (both 2048 chunk regimes) before any default flip; flip the value
+# below IN PLACE (same line count) per the cache-freeze discipline.
+STYLE_FOLD = False
 
 LOSS_NAMES = ('content', 'style', 'deepdream')
 SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')
@@ -298,27 +314,48 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
                     # s_raw only ever appears behind f32 scalars, so the
                     # 2/(n^2*size), norm, and weight factors fold into ONE
                     # bf16 scalar multiply, and both RMS traces follow by
-                    # scalar algebra from one f32-accumulated sum-of-squares.
+                    # scalar algebra from one f32-accumulated sum-of-squares
+                    # — or, under STYLE_FOLD, into the (c, c) gram_diff
+                    # itself, with rms(s_raw) derived from the Gram matrix
+                    # (see the flag comment): no big-tensor multiply, no
+                    # full-tensor sum-of-squares.
                     v = (feat if feat.shape[-1] == n
                          else feat.reshape(*feat.shape[:-1], -1, n))
                     gram = jnp.einsum(
                         '...c,...d->cd', v, v, precision=precision,
                         preferred_element_type=jnp.float32) / size
                     gram_diff = gram - grams[layer]
-                    s_raw = jnp.einsum(
-                        '...c,cd->...d', v, gram_diff.astype(feat.dtype),
-                        precision=precision,
-                        preferred_element_type=feat.dtype)
-                    s_raw = s_raw.reshape(feat.shape)
                     k = 2.0 / (jnp.float32(n * n) * size)
-                    rms_raw = jnp.sqrt(f32_sumsq(s_raw) / size)
-                    sn = norm_of(layer + ':s', k * rms_raw)
-                    s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
-                    trace.append(s_loss)
-                    loss = loss + s_loss
-                    scale = sw * k / sn
-                    trace.append(jnp.abs(scale) * rms_raw)
-                    diff = diff + scale.astype(feat.dtype) * s_raw
+                    if STYLE_FOLD:
+                        rms_raw = jnp.sqrt(jnp.maximum(jnp.sum(
+                            jnp.dot(gram_diff, gram_diff,
+                                    precision='highest') * gram), 0.0))
+                        sn = norm_of(layer + ':s', k * rms_raw)
+                        s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
+                        trace.append(s_loss)
+                        loss = loss + s_loss
+                        scale = sw * k / sn
+                        trace.append(jnp.abs(scale) * rms_raw)
+                        s_term = jnp.einsum(
+                            '...c,cd->...d', v,
+                            (scale * gram_diff).astype(feat.dtype),
+                            precision=precision,
+                            preferred_element_type=feat.dtype)
+                        diff = diff + s_term.reshape(feat.shape)
+                    else:
+                        s_raw = jnp.einsum(
+                            '...c,cd->...d', v, gram_diff.astype(feat.dtype),
+                            precision=precision,
+                            preferred_element_type=feat.dtype)
+                        s_raw = s_raw.reshape(feat.shape)
+                        rms_raw = jnp.sqrt(f32_sumsq(s_raw) / size)
+                        sn = norm_of(layer + ':s', k * rms_raw)
+                        s_loss = sw * jnp.mean(jnp.square(gram_diff)) / sn
+                        trace.append(s_loss)
+                        loss = loss + s_loss
+                        scale = sw * k / sn
+                        trace.append(jnp.abs(scale) * rms_raw)
+                        diff = diff + scale.astype(feat.dtype) * s_raw
                 elif use_pallas and feat.shape[-1] == n:
                     # Fused Pallas kernel: Gram accumulation + G_diff +
                     # gradient matmul in one pass (ops/pallas).

@@ -35,16 +35,23 @@ from .steps import build_scan_fn, build_step_fns, precision_config
 
 class StepsDispatch:
     """Handle for an in-flight begin_steps dispatch: the un-materialized
-    trace arrays plus enough bookkeeping to label them on collection."""
+    trace arrays plus enough bookkeeping to label them on collection.
 
-    __slots__ = ('spec', 'traces', 'n_steps', 't_end', 'image')
+    prime carries the in-scan initial-eval trace of a primed dispatch as
+    (spec, trace futures). It rides the handle — not engine-global state —
+    so with several dispatches in flight (pipelined video) each prime
+    trace lands at ITS OWN dispatch's collect, immediately before that
+    dispatch's step traces, and the trace CSV stays in dispatch order."""
 
-    def __init__(self, spec, traces, n_steps, t_end, image):
+    __slots__ = ('spec', 'traces', 'n_steps', 't_end', 'image', 'prime')
+
+    def __init__(self, spec, traces, n_steps, t_end, image, prime=None):
         self.spec = spec
         self.traces = traces
         self.n_steps = n_steps
         self.t_end = t_end
         self.image = image  # deprocessed final iterate (device array)
+        self.prime = prime  # (spec, trace futures) of the in-scan eval
 
 
 class StyleTransfer:
@@ -118,7 +125,6 @@ class StyleTransfer:
         self.norm_set = {}
 
         self.traces = []
-        self._pending_prime = None   # lazily-deferred prime trace futures
 
         # Device-resident caches: per-iteration host->device uploads over a
         # TPU tunnel cost ~70 ms each, so the small step inputs (weight
@@ -399,30 +405,17 @@ class StyleTransfer:
         self._absorb_norms(spec, norms)
         return self._absorb_trace(spec, trace_vals)
 
-    def _flush_pending_prime(self):
-        """Materializes a lazily-primed eval trace (begin_steps) so
-        self.traces stays in dispatch order."""
-        if self._pending_prime is not None:
-            spec, trace_vals = self._pending_prime
-            self._pending_prime = None
-            self._absorb_trace(spec, trace_vals)
-
-    def _prime_if_needed(self, spec, eval_fn, lazy=False):
-        """Primes the L-BFGS (loss, grad) cache. With lazy=True the norm
-        state absorbs as device futures and the trace transfer is DEFERRED
-        to the next collect/step — a blocking device_get here would chain
-        on every in-flight dispatch and serialize pipelined callers
-        (begin_steps is async by contract)."""
+    def _prime_if_needed(self, spec, eval_fn):
+        """Primes the L-BFGS (loss, grad) cache — the synchronous
+        single-step path. Fused dispatches never call this: begin_steps
+        runs a stale eval INSIDE the scan program (primed=True) and its
+        trace rides the returned handle."""
         if self._needs_init:
-            self._flush_pending_prime()
             inputs = self._gather_inputs(spec)
             self.opt_state, norms, trace_vals = eval_fn(
                 self.params, self.opt_state, inputs)
             self._absorb_norms(spec, norms)
-            if lazy:
-                self._pending_prime = (spec, trace_vals)
-            else:
-                self._absorb_trace(spec, trace_vals)
+            self._absorb_trace(spec, trace_vals)
             self._needs_init = False
 
     def step(self, fetch_image=True):
@@ -437,7 +430,6 @@ class StyleTransfer:
                                           use_pallas=self.use_pallas,
                                           remat=self.remat,
                                           block1_s2d=self.block1_s2d)
-        self._flush_pending_prime()
         self._prime_if_needed(spec, eval_fn)
 
         inputs = self._gather_inputs(spec)
@@ -464,8 +456,8 @@ class StyleTransfer:
         # A stale L-BFGS (loss, grad) cache primes INSIDE the scan program
         # (primed=True): one dispatch instead of eval + scan — the common
         # case for every video frame and every serving dispatch right
-        # after a control change. The prime trace defers like the lazy
-        # prime (materialized at the next collect, in dispatch order).
+        # after a control change. The prime trace rides the returned
+        # handle and lands at THIS dispatch's collect, in dispatch order.
         primed = self._needs_init and self.optimizer_name == 'lbfgs'
         scan_fn = build_scan_fn(spec, self.optimizer_name, self.precision,
                                 n_steps, use_pallas=self.use_pallas,
@@ -473,12 +465,12 @@ class StyleTransfer:
                                 block1_s2d=self.block1_s2d,
                                 primed=primed)
         inputs = self._gather_inputs(spec)
+        prime = None
         if primed:
-            self._flush_pending_prime()
             self.opt_state, norms, traces, image, prime_trace = scan_fn(
                 self.params, self.opt_state, inputs,
                 self._step_size_device())
-            self._pending_prime = (spec, prime_trace)
+            prime = (spec, prime_trace)
             self._needs_init = False
         else:
             self.opt_state, norms, traces, image = scan_fn(
@@ -490,7 +482,7 @@ class StyleTransfer:
             self.norm_vals[key] = norms_vals[key]
             self.norm_set[key] = norms_set[key]
         self.t += n_steps
-        return StepsDispatch(spec, traces, n_steps, self.t, image)
+        return StepsDispatch(spec, traces, n_steps, self.t, image, prime)
 
     def _materialize_traces(self, dispatch, columns, now):
         out = []
@@ -508,12 +500,21 @@ class StyleTransfer:
     def collect_steps(self, dispatch, fetch_image=True):
         """Blocks on a begin_steps handle and materializes its results:
         appends one Trace per iteration and returns (image-or-None, traces).
-        The image is the iterate as of the END of that dispatch — computed
-        on device as a scan output of its own, so it survives the state
-        donation even when later dispatches are already in flight."""
-        self._flush_pending_prime()
-        # One host transfer for all n_steps traces.
-        columns = [np.asarray(col) for col in jax.device_get(dispatch.traces)]
+        A primed dispatch's in-scan eval trace is absorbed first (same
+        host transfer), so the trace history reads eval-then-steps per
+        dispatch. The image is the iterate as of the END of that dispatch
+        — computed on device as a scan output of its own, so it survives
+        the state donation even when later dispatches are already in
+        flight."""
+        # One host transfer for all n_steps traces (+ the prime trace).
+        payload = [dispatch.traces]
+        if dispatch.prime is not None:
+            payload.append(dispatch.prime[1])
+        fetched = jax.device_get(payload)
+        if dispatch.prime is not None:
+            self._absorb_trace(dispatch.prime[0], fetched[1])
+            dispatch.prime = None
+        columns = [np.asarray(col) for col in fetched[0]]
         traces = self._materialize_traces(dispatch, columns,
                                           time.perf_counter())
         image = np.asarray(dispatch.image) if fetch_image else None
@@ -521,20 +522,25 @@ class StyleTransfer:
 
     def collect_steps_many(self, dispatches, fetch_image=True):
         """Blocks on SEVERAL begin_steps handles with ONE host transfer:
-        a single device_get covers every handle's traces and images, so a
-        tunneled backend pays one link round trip per BATCH of dispatches
-        instead of one per dispatch (video mode collects frames in pairs
-        this way). Handles must be this engine's, consecutive, in dispatch
-        order. Returns [(image-or-None, traces), ...]."""
-        self._flush_pending_prime()
-        payload = [d.traces for d in dispatches]
+        a single device_get covers every handle's traces, prime traces and
+        images, so a tunneled backend pays one link round trip per BATCH
+        of dispatches instead of one per dispatch (video mode collects
+        frames in batches of three this way). Handles must be this
+        engine's, consecutive, in dispatch order. Returns
+        [(image-or-None, traces), ...]."""
+        payload = [[d.traces for d in dispatches],
+                   [d.prime[1] for d in dispatches if d.prime is not None]]
         if fetch_image:
             payload.append([d.image for d in dispatches])
         fetched = jax.device_get(payload)
         images = fetched.pop() if fetch_image else [None] * len(dispatches)
+        primes = iter(fetched[1])
         now = time.perf_counter()
         out = []
-        for dispatch, cols, image in zip(dispatches, fetched, images):
+        for dispatch, cols, image in zip(dispatches, fetched[0], images):
+            if dispatch.prime is not None:
+                self._absorb_trace(dispatch.prime[0], next(primes))
+                dispatch.prime = None
             columns = [np.asarray(c) for c in cols]
             traces = self._materialize_traces(dispatch, columns, now)
             out.append((None if image is None else np.asarray(image),
@@ -630,9 +636,10 @@ class StyleTransfer:
         return time.perf_counter() - t0
 
     def write_trace(self, filename):
-        """Dumps the accumulated trace history to CSV (worker.py:312-315)."""
+        """Dumps the accumulated trace history to CSV (worker.py:312-315).
+        Covers every collected dispatch; an uncollected in-flight handle's
+        traces (including its prime trace) are not yet part of history."""
         import pandas as pd
-        self._flush_pending_prime()
         df = pd.DataFrame([t.data for t in self.traces])
         df.index.name = 'step'
         df.to_csv(filename)

@@ -152,7 +152,8 @@ class VideoStylizer:
         """Blocks on several begin_frame handles with ONE host round trip
         (StyleTransfer.collect_steps_many): over a tunneled backend the
         per-collect link RTT is the steady-state floor, so the pipelined
-        driver collects frames in pairs. Returns [(image, trace), ...]."""
+        driver collects frames in batches — three per transfer in main().
+        Returns [(image, trace), ...]."""
         results = self.st.collect_steps_many(dispatches, fetch_image=True)
         out = []
         for image, traces in results:
@@ -246,7 +247,7 @@ def main(argv=None):
 
     # Pipelined loop: later frames' device work is enqueued before earlier
     # frames' pixels are fetched, so PNG encode/write and frame loads
-    # overlap device compute — and frames COLLECT IN PAIRS through one
+    # overlap device compute — and frames COLLECT IN TRIPLES through one
     # host transfer (collect_frames), since over a tunneled backend the
     # per-collect link round trip is the steady-state floor.
     size_wh = None

@@ -98,6 +98,51 @@ def test_bf16_feed_full_trace_tracks_bf16():
                                        err_msg='%s@%d' % (key, step))
 
 
+def test_style_fold_tracks_feed():
+    """STYLE_FOLD folds the style scale into the (c, c) gram_diff BEFORE
+    the gradient matmul and derives rms(s_raw) in the Gram domain
+    (sumsq(s_raw)/size == sum((gd @ gd) * gram), verified exactly) — the
+    big-tensor scalar multiply (a measured 1.32 ms/step layout-flip copy
+    at 2048px bf16) and the full-tensor sum-of-squares pass both cease to
+    exist. Same math, bf16-level rounding differences only; float32
+    parity is untouched by construction (bf16_feed-only branch)."""
+    from style_transfer2_tpu.engine import objective
+    from style_transfer2_tpu.engine.steps import build_step_core
+
+    orig = objective.STYLE_FOLD
+
+    def run(flag, precision):
+        objective.STYLE_FOLD = flag
+        build_step_core.cache_clear()
+        try:
+            return _run(precision, 'lbfgs')
+        finally:
+            objective.STYLE_FOLD = orig
+            build_step_core.cache_clear()
+
+    base_img, base = run(False, 'bfloat16')
+    fold_img, fold = run(True, 'bfloat16')
+    assert list(fold[0].keys()) == list(base[0].keys())
+    for step, (tf, tb) in enumerate(zip(fold, base)):
+        rtol = 0.1 if step == 0 else 0.75
+        for key in tb:
+            if key in ('time', 'fevals'):
+                continue
+            np.testing.assert_allclose(tf[key], tb[key], rtol=rtol,
+                                       err_msg='%s@%d' % (key, step))
+    assert np.sqrt(np.mean((fold_img - base_img) ** 2)) < 8.0
+
+    # float32 parity: bit-exact regardless of the flag.
+    img32, traces32 = run(False, 'float32')
+    img32f, traces32f = run(True, 'float32')
+    np.testing.assert_array_equal(img32f, img32)
+    for tf, t32 in zip(traces32f, traces32):
+        for key in t32:
+            if key in ('time',):
+                continue
+            np.testing.assert_array_equal(tf[key], t32[key], err_msg=key)
+
+
 def test_float32_fast_mode():
     """float32_fast (DEFAULT matmul precision, f32 state) runs end-to-end
     and tracks parity float32 — on the CPU backend the precisions coincide,

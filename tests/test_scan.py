@@ -133,6 +133,44 @@ def test_s2d_resident_scan_tracks_plain(rng):
         assert rms < 4.0, (optimizer, rms)
 
 
+def test_pipelined_primed_traces_stay_in_dispatch_order(rng):
+    """Round-4 self-review residual #1: with two primed dispatches in
+    flight (the video-mode shape — every frame changes the objective, so
+    every begin_steps primes inside the scan), each dispatch's prime
+    trace must land immediately before ITS OWN step traces. The old
+    module-global _pending_prime flushed the NEWER dispatch's prime at
+    the OLDER dispatch's collect, misordering the trace CSV."""
+    seed = np.random.RandomState(21)
+    st = _make(seed, 'lbfgs')
+    assert st._needs_init                      # fresh start: A primes
+    a = st.begin_steps(2)
+    st.set_weights(WEIGHTS, SCALARS)           # objective change: B primes
+    assert st._needs_init
+    b = st.begin_steps(2)                      # in flight behind A
+    st.collect_steps(a, fetch_image=False)
+    st.collect_steps(b, fetch_image=False)
+
+    # Expected order: A.prime, A.step1, A.step2, B.prime, B.step1, B.step2.
+    # Prime traces are eval traces — no 'fevals' key.
+    fevals = [t.data.get('fevals') for t in st.traces]
+    assert fevals == [None, 1, 2, None, 3, 4], fevals
+    for t in st.traces:
+        assert np.isfinite(t.data['loss'])
+
+    # collect_steps_many must interleave identically.
+    seed = np.random.RandomState(21)
+    st2 = _make(seed, 'lbfgs')
+    a2 = st2.begin_steps(2)
+    st2.set_weights(WEIGHTS, SCALARS)
+    b2 = st2.begin_steps(2)
+    st2.collect_steps_many([a2, b2], fetch_image=False)
+    fevals2 = [t.data.get('fevals') for t in st2.traces]
+    assert fevals2 == [None, 1, 2, None, 3, 4], fevals2
+    for ta, tb in zip(st.traces, st2.traces):
+        np.testing.assert_allclose(ta.data['loss'], tb.data['loss'],
+                                   rtol=1e-6)
+
+
 def test_scan_then_step_continues(rng):
     st = _make(rng, 'adam')
     st.run_steps(2, fetch_image=False)

@@ -134,6 +134,11 @@ def main(argv=None):
                    default=None,
                    help='lbfgs.BF16_HISTORY: curvature pairs stored bf16 '
                         '(bf16 mode only; dots still accumulate f32)')
+    p.add_argument('--style-fold', action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help='objective.STYLE_FOLD: style scale folded into '
+                        'gram_diff, rms(s_raw) derived in the Gram domain '
+                        '(bf16_feed branch only)')
     p.add_argument('--platform', default='')
     p.add_argument('--keep-trace', default='',
                    help='keep the profiler trace at this directory')
@@ -157,6 +162,8 @@ def main(argv=None):
         _objective.STYLE_EINSUM = args.style_einsum
     if args.bf16_feed is not None:
         _objective.BF16_FEED = args.bf16_feed
+    if args.style_fold is not None:
+        _objective.STYLE_FOLD = args.style_fold
     from style_transfer2_tpu.engine import steps as _steps
     if args.s2d_resident is not None:
         _steps.S2D_RESIDENT = args.s2d_resident
@@ -258,6 +265,7 @@ def main(argv=None):
         'bf16_taps': _objective.BF16_TAPS,
         'style_einsum': _objective.STYLE_EINSUM,
         'bf16_feed': _objective.BF16_FEED,
+        'style_fold': _objective.STYLE_FOLD,
         's2d_resident': _steps.S2D_RESIDENT,
         'bf16_history': _lbfgs.BF16_HISTORY,
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
