@@ -86,12 +86,12 @@ BF16_FEED = True
 # round-4 final traces) — and the full-tensor sum-of-squares pass both
 # cease to exist; per style layer only the Gram einsum and ONE gradient
 # einsum touch the tap. BF16_FEED branch only; float32 parity untouched.
-# Hardware verdict (v5e bf16, on-device scan spans, fresh-process arms,
-# tools/hw_round4_results.jsonl part 12): PENDING — measure at 512/1024/
-# 2048 (both 2048 chunk regimes) before any default flip; flip the value
-# below IN PLACE (same line count) per the cache-freeze discipline.
-STYLE_FOLD = False
-
+# Hardware verdict (part 12, v5e bf16, on-device scan spans, fresh arms):
+# size-dependent — 512px +0.7% (noise-negative), 1024px -1.1% (19.212->
+# 18.999 ms), 2048px -1.7%/-1.5% (chunk 20/60). Ships as 'auto': fold
+# only when the per-image grid is at or above the pixel floor below.
+STYLE_FOLD = 'auto'
+STYLE_FOLD_MIN_PIXELS = 500_000
 LOSS_NAMES = ('content', 'style', 'deepdream')
 SCALAR_LOSS_NAMES = ('tv', 'tv_power', 'p', 'p_power')
 
@@ -244,7 +244,7 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
         model = vgg19.VGG19Features(params, precision, compute_dtype,
                                     remat, block1_s2d, tap_dtype, input_s2d)
         feats, vjp = model.features_and_vjp(x, spec.layers)
-
+        style_fold = STYLE_FOLD and (STYLE_FOLD != 'auto' or x.size // 3 >= STYLE_FOLD_MIN_PIXELS)
         loss = jnp.float32(0.0)
         trace = []
         diffs = {}
@@ -326,7 +326,7 @@ def make_objective(spec, precision, compute_dtype, use_pallas=False,
                         preferred_element_type=jnp.float32) / size
                     gram_diff = gram - grams[layer]
                     k = 2.0 / (jnp.float32(n * n) * size)
-                    if STYLE_FOLD:
+                    if style_fold:
                         rms_raw = jnp.sqrt(jnp.maximum(jnp.sum(
                             jnp.dot(gram_diff, gram_diff,
                                     precision='highest') * gram), 0.0))
