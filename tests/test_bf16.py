@@ -143,6 +143,43 @@ def test_style_fold_tracks_feed():
             np.testing.assert_array_equal(tf[key], t32[key], err_msg=key)
 
 
+def test_style_fold_auto_gate():
+    """The shipped STYLE_FOLD default is 'auto': fold only for grids of at
+    least STYLE_FOLD_MIN_PIXELS per-image pixels (the part-12 hardware arms
+    inverted below ~1024px). The gate resolves at trace time to EXACTLY the
+    explicit branch: bit-identical programs, bit-identical outputs."""
+    from style_transfer2_tpu.engine import objective
+    from style_transfer2_tpu.engine.steps import build_step_core
+
+    orig_flag = objective.STYLE_FOLD
+    orig_min = objective.STYLE_FOLD_MIN_PIXELS
+
+    def run(flag, min_pixels):
+        objective.STYLE_FOLD = flag
+        objective.STYLE_FOLD_MIN_PIXELS = min_pixels
+        build_step_core.cache_clear()
+        try:
+            return _run('bfloat16', 'lbfgs')
+        finally:
+            objective.STYLE_FOLD = orig_flag
+            objective.STYLE_FOLD_MIN_PIXELS = orig_min
+            build_step_core.cache_clear()
+
+    # Above the floor (24x24 = 576 px >= 1): auto == explicit True.
+    img_auto, traces_auto = run('auto', 1)
+    img_true, traces_true = run(True, 1)
+    np.testing.assert_array_equal(img_auto, img_true)
+    # Below the floor (the shipped 500k): auto == explicit False.
+    img_auto, traces_auto = run('auto', orig_min)
+    img_false, traces_false = run(False, orig_min)
+    np.testing.assert_array_equal(img_auto, img_false)
+    for ta, tf in zip(traces_auto, traces_false):
+        for key in tf:
+            if key in ('time',):
+                continue
+            np.testing.assert_array_equal(ta[key], tf[key], err_msg=key)
+
+
 def test_float32_fast_mode():
     """float32_fast (DEFAULT matmul precision, f32 state) runs end-to-end
     and tracks parity float32 — on the CPU backend the precisions coincide,
