@@ -86,6 +86,12 @@ def parse_args(argv=None):
                         "'auto'); empty = single device")
     p.add_argument('--steps-per-dispatch', type=int, default=60,
                    help='iterations fused per device dispatch')
+    p.add_argument('--pipeline-depth', type=int, default=2,
+                   help='fused chunks in flight at once (consecutive '
+                        'dispatches chain on device, so a chunk\'s collect '
+                        'round trip overlaps the next chunk\'s compute — '
+                        'the serving driver\'s dispatch discipline); 1 = '
+                        'synchronous')
     p.add_argument('--trace-csv', default=None, help='write the trace here')
     p.add_argument('--checkpoint', default=None,
                    help='save a resumable checkpoint directory at the end')
@@ -353,18 +359,30 @@ def main(argv=None):
         if args.prewarm_ladder and rung + 1 < len(ladder):
             prewarm_thread = start_prewarm(ladder[rung + 1])
 
+        # Chunks dispatch --pipeline-depth deep: begin_steps chains on
+        # device, so each collect's link round trip overlaps the next
+        # chunk's compute (the chunk plan is fixed up front — no trace
+        # feedback steers it, unlike the serving tuner).
+        from collections import deque
         remaining = args.iterations
+        depth = max(1, args.pipeline_depth)
+        handles = deque()
         t0 = time.perf_counter()
-        while remaining > 0:
-            chunk = min(args.steps_per_dispatch, remaining)
-            if args.save_every:
-                chunk = min(chunk, args.save_every)
-            image, trace = st.run_steps(chunk, fetch_image=bool(args.save_every))
-            remaining -= chunk
-            if args.save_every and (st.t % args.save_every) < chunk:
+        while remaining > 0 or handles:
+            while remaining > 0 and len(handles) < depth:
+                chunk = min(args.steps_per_dispatch, remaining)
+                if args.save_every:
+                    chunk = min(chunk, args.save_every)
+                handles.append((chunk, st.begin_steps(chunk)))
+                remaining -= chunk
+            chunk, handle = handles.popleft()
+            image, traces = st.collect_steps(
+                handle, fetch_image=bool(args.save_every))
+            trace = traces[-1].data
+            if args.save_every and (handle.t_end % args.save_every) < chunk:
                 im.as_pil(image).save(args.output)
             logger.info('scale %dx%d iterate %d loss %.6g', hw[0], hw[1],
-                        st.t, trace['loss'])
+                        handle.t_end, trace['loss'])
         dt = time.perf_counter() - t0
         logger.info('scale %dx%d: %d iters in %.2fs (%.2f it/s)',
                     hw[0], hw[1], args.iterations, dt, args.iterations / dt)

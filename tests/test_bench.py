@@ -93,6 +93,35 @@ def test_sigterm_mid_phase_flushes_headline():
     assert 'signal' in line['error']
 
 
+def test_run_to_plateau_pipelined_counts_and_stops(monkeypatch):
+    """The pipelined plateau loop (chunks PIPELINE deep on device) must
+    stop on the per-chunk tolerance, drain and COUNT the speculative
+    in-flight chunk, and still honor the max_iters cap exactly."""
+    import numpy as np
+
+    import bench
+    from style_transfer2_tpu.models import random_params
+
+    monkeypatch.setattr(bench, 'NS_CHUNK', 4)
+    params = random_params(0)
+    rng = np.random.RandomState(0)
+    content = rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+    style = rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+    init = rng.uniform(0, 255, content.shape).astype(np.uint8)
+
+    st = bench._make_engine(params, content, style, init, 'float32')
+    iters, loss = bench._run_to_plateau(st, max_iters=40, tol=0.5)
+    # Loose tol stops after chunk 2's check; chunk 3 (in flight) drains
+    # and counts. Every enqueued iteration is accounted for in the engine.
+    assert iters == st.t
+    assert 8 < iters < 40
+    assert np.isfinite(loss)
+
+    st2 = bench._make_engine(params, content, style, init, 'float32')
+    iters2, loss2 = bench._run_to_plateau(st2, max_iters=12, tol=0.0)
+    assert iters2 == 12 and np.isfinite(loss2)
+
+
 def test_emit_prints_exactly_once():
     proc = run_snippet(
         "import bench\n"

@@ -88,6 +88,35 @@ def test_cli_prewarm_ladder_matches_plain(tmp_path):
                                       prewarmed[col].to_numpy(), col)
 
 
+def test_cli_pipelined_matches_sync(tmp_path):
+    """--pipeline-depth N keeps several fused chunks in flight (consecutive
+    begin_steps chain on device): the chunk plan is fixed up front, so the
+    trajectory, trace CSV and --save-every snapshots must be bit-identical
+    to the synchronous depth-1 loop."""
+    content, style = _write_images(tmp_path)
+    traces, images = [], []
+    for depth in ('1', '3'):
+        out = tmp_path / f'out_d{depth}.png'
+        csv = tmp_path / f'trace_d{depth}.csv'
+        rc = cli_main([content, style, '-o', str(out), '--size', '32',
+                       '--iterations', '7', '--optimizer', 'lbfgs',
+                       '--model-weights', 'random', '--platform', 'cpu',
+                       '--steps-per-dispatch', '2', '--save-every', '2',
+                       '--pipeline-depth', depth,
+                       '--trace-csv', str(csv)])
+        assert rc == 0
+        traces.append(pd.read_csv(csv))
+        images.append(np.asarray(Image.open(out)))
+    sync, piped = traces
+    assert len(sync) == len(piped)
+    for col in sync.columns:
+        if col == 'time':
+            continue
+        np.testing.assert_array_equal(sync[col].to_numpy(),
+                                      piped[col].to_numpy(), col)
+    np.testing.assert_array_equal(images[0], images[1])
+
+
 def test_checkpoint_roundtrip_preserves_state(tmp_path):
     from style_transfer2_tpu.engine import StyleTransfer
     from style_transfer2_tpu.engine.checkpoint import (load_checkpoint,
