@@ -204,12 +204,20 @@ def run_batch(args):
                                       step_size=args.step_size)
                 engine.set_running(lane, True)
                 lanes[lane] = path
+            # Chunks dispatch --pipeline-depth deep (begin_steps_all chains
+            # on device): a chunk's collect round trip overlaps the next
+            # chunk's compute, like the single-image loop.
+            from collections import deque
             t0 = time.perf_counter()
             remaining = args.iterations
-            while remaining > 0:
-                chunk = min(args.steps_per_dispatch, remaining)
-                traces = engine.run_steps_all(chunk)
-                remaining -= chunk
+            depth = max(1, args.pipeline_depth)
+            handles = deque()
+            while remaining > 0 or handles:
+                while remaining > 0 and len(handles) < depth:
+                    chunk = min(args.steps_per_dispatch, remaining)
+                    handles.append(engine.begin_steps_all(chunk))
+                    remaining -= chunk
+                traces = engine.collect_steps_all(handles.popleft())
             dt = time.perf_counter() - t0
             for lane, path in lanes.items():
                 out = outdir / (path.stem + '_styled.png')
