@@ -254,3 +254,36 @@ def test_cli_batch_mode(tmp_path):
     arr_a = np.asarray(a, np.float32)
     arr_b = np.asarray(Image.open(outdir / 'b_styled.png'), np.float32)
     assert np.abs(arr_a - arr_b).mean() > 1.0
+
+
+def test_cli_batch_pipelined_matches_sync(tmp_path):
+    """--batch with --pipeline-depth N keeps several fused chunks in
+    flight per wave (begin_steps_all chains on device); the chunk plan is
+    fixed up front, so every output image must be bit-identical to the
+    synchronous depth-1 run."""
+    rng = np.random.RandomState(7)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    for name in ('a', 'b'):
+        Image.fromarray(rng.randint(0, 256, (40, 60, 3))
+                        .astype(np.uint8)).save(indir / (name + '.png'))
+    style = tmp_path / 'style.png'
+    Image.fromarray(rng.randint(0, 256, (44, 44, 3))
+                    .astype(np.uint8)).save(style)
+
+    outs = []
+    for depth in ('1', '3'):
+        outdir = tmp_path / f'out_d{depth}'
+        rc = cli_main([str(indir), str(style), '--batch', '-o',
+                       str(outdir), '--size', '32', '--iterations', '7',
+                       '--lanes', '2', '--optimizer', 'lbfgs',
+                       '--model-weights', 'random', '--platform', 'cpu',
+                       '--steps-per-dispatch', '2',
+                       '--pipeline-depth', depth])
+        assert rc == 0
+        outs.append({p.name: np.asarray(Image.open(p))
+                     for p in outdir.iterdir()})
+    sync, piped = outs
+    assert sorted(sync) == ['a_styled.png', 'b_styled.png'] == sorted(piped)
+    for name in sync:
+        np.testing.assert_array_equal(sync[name], piped[name], name)
