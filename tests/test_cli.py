@@ -117,6 +117,29 @@ def test_cli_pipelined_matches_sync(tmp_path):
     np.testing.assert_array_equal(images[0], images[1])
 
 
+def test_cli_polish_refines_at_full_precision(tmp_path):
+    """--polish N runs N full-precision iterations warm-started from the
+    main run's final iterate. The polish trace's FIRST row is the
+    full-precision evaluation of the main (bfloat16) result, so the loss
+    must decrease from there; the main trace is untouched."""
+    content, style = _write_images(tmp_path)
+    out = tmp_path / 'out.png'
+    csv = tmp_path / 'trace.csv'
+    rc = cli_main([content, style, '-o', str(out), '--size', '32',
+                   '--iterations', '8', '--optimizer', 'lbfgs',
+                   '--model-weights', 'random', '--platform', 'cpu',
+                   '--steps-per-dispatch', '4', '--precision', 'bfloat16',
+                   '--polish', '4', '--polish-precision', 'float32',
+                   '--trace-csv', str(csv)])
+    assert rc == 0
+    main = pd.read_csv(csv)
+    polish = pd.read_csv(tmp_path / 'trace.polish.csv')
+    assert len(main) == 9      # prime + 8 main iterations
+    assert len(polish) == 5    # prime (f32 eval of the bf16 result) + 4
+    assert polish['loss'].iloc[-1] < polish['loss'].iloc[0]
+    assert np.asarray(Image.open(out)).shape[-1] == 3
+
+
 def test_checkpoint_roundtrip_preserves_state(tmp_path):
     from style_transfer2_tpu.engine import StyleTransfer
     from style_transfer2_tpu.engine.checkpoint import (load_checkpoint,
