@@ -80,6 +80,11 @@ class SingleSessionTier(sn.EngineActions):
         # Active multi-scale ladder (coarse-to-fine serving schedule):
         # dict(rungs=[(h, w)...], idx, per_rung, next_at) or None.
         self.ladder = None
+        # Active polish phase (full-precision tail after the ladder):
+        # dict(n, await_ready, until_i) or None; the override redirects
+        # driver respawns to the polish precision while set.
+        self.polish = None
+        self._precision_override = None
 
     # -- config helpers -----------------------------------------------------
 
@@ -117,11 +122,10 @@ class SingleSessionTier(sn.EngineActions):
                 grids.append(hw)
         return grids
 
-    # -- driver lifecycle -----------------------------------------------------
-
-    def _spawn_driver(self):
-        self.sess.running = False
-        self.sess.worker_ready = False
+    def _dispatch_config(self):
+        """(adaptive_max_steps, pipeline_depth, steps_per_dispatch) from the
+        config — shared by the driver spawn and the polish prewarm so both
+        derive the same fused chunk lengths."""
         # adaptive_dispatch default: 60 (the measured sweet spot — with
         # depth-2 pipelining each sub-chunk is 30 steps, the minimum whose
         # compute covers the tunnel RTT). A config that explicitly sets
@@ -136,6 +140,22 @@ class SingleSessionTier(sn.EngineActions):
         # K-iteration control latency unless they opt into pipelining —
         # depth 2 would silently double the in-flight work to 2K.
         pipeline_default = 2 if adaptive > 1 else 1
+        depth = self.config.getint('pipeline_depth', pipeline_default)
+        spd = self.config.getint('steps_per_dispatch', 1)
+        return adaptive, depth, spd
+
+    # -- driver lifecycle -----------------------------------------------------
+
+    def _spawn_driver(self):
+        self.sess.running = False
+        self.sess.worker_ready = False
+        # adaptive_dispatch default: 60 (the measured sweet spot — with
+        # depth-2 pipelining each sub-chunk is 30 steps, the minimum whose
+        # compute covers the tunnel RTT). A config that explicitly sets
+        # steps_per_dispatch but not adaptive_dispatch predates the
+        # adaptive mode and keeps its static behavior (adaptive would
+        # silently override it).
+        adaptive, depth, spd = self._dispatch_config()
         remat = self.config.get('remat', '')
         if remat not in ('', 'conv', 'block'):
             raise ValueError(f'config remat must be conv or block: {remat!r}')
@@ -143,14 +163,14 @@ class SingleSessionTier(sn.EngineActions):
             self.model_params,
             prewarm_grids=self._prewarm_grids(),
             placement=self.placement,
-            precision=self.config.get('precision', 'float32'),
+            precision=(self._precision_override
+                       or self.config.get('precision', 'float32')),
             use_pallas=self.config.getboolean('pallas', False),
             remat=remat or False,
-            steps_per_dispatch=self.config.getint('steps_per_dispatch', 1),
+            steps_per_dispatch=spd,
             image_every=self.config.getint('image_every', 1),
             adaptive_max_steps=adaptive,
-            pipeline_depth=self.config.getint('pipeline_depth',
-                                              pipeline_default),
+            pipeline_depth=depth,
             adaptive_latency_target=self.config.getfloat(
                 'adaptive_latency_target', 0.0),
             dispatch_timeout=self.config.getfloat('dispatch_timeout', 0.0))
@@ -180,6 +200,15 @@ class SingleSessionTier(sn.EngineActions):
                 else:
                     backoff = 0.1
                 self._spawn_driver()
+                # A fresh driver boots with the default optimizer; the
+                # params document is authoritative (the startup-restore
+                # path already did this — a mid-session respawn must too,
+                # or a crash silently reverts an adam session to lbfgs).
+                # Sent before the images so the reset it triggers lands
+                # before SetImages seeds the iterate counter.
+                await self._to_driver(m.SetOptimizer(
+                    self.sess.params['optimizer'],
+                    self.sess.params.get('optimizer_step_size')))
                 self.sess.push_state()
                 await self.feed_engine_state()
             await asyncio.sleep(0.1)
@@ -213,11 +242,13 @@ class SingleSessionTier(sn.EngineActions):
                 self.sess.note_iterates(batch[-1].i, image,
                                         [b.trace for b in batch])
                 await self._ladder_tick()
+                await self._polish_tick()
             elif isinstance(msg, m.WorkerReady):
                 self.sess.worker_ready = True
                 self.layers = msg.layers
                 self.sess.push('workerReady')
                 await self.router.register_once()
+                await self._polish_on_ready()
             elif isinstance(msg, m.GetImages):
                 # The driver lacks state (fresh spawn): re-send everything.
                 await self.feed_engine_state()
@@ -346,6 +377,7 @@ class SingleSessionTier(sn.EngineActions):
             self.ladder = None
             logger.info('serving ladder complete at %s',
                         tuple(sess.input_arr.shape[:2]))
+            await self._maybe_begin_polish()
             return
         hw = lad['rungs'][lad['idx']]
         lad['await_grid'] = tuple(hw)
@@ -354,6 +386,11 @@ class SingleSessionTier(sn.EngineActions):
         await self._change_grid(hw)
         if lad['idx'] + 1 < len(lad['rungs']):
             await self._to_driver(m.Prewarm([lad['rungs'][lad['idx'] + 1]]))
+        else:
+            # Final rung: compile the polish-precision programs in the
+            # background while it optimizes, so the polish swap lands on
+            # warm caches.
+            self._start_polish_prewarm(tuple(hw))
 
     async def _change_grid(self, hw):
         """Moves the session to an explicit (H, W) grid with a DEVICE-side
@@ -371,6 +408,164 @@ class SingleSessionTier(sn.EngineActions):
                                               content))
         sess.push('newSize', height=hw[0], width=hw[1])
 
+    # -- polish phase -------------------------------------------------------------
+    #
+    # The CLI's --polish offered to serving users: when the coarse-to-fine
+    # ladder completes, a session whose params document carries
+    # `polish: <iters>` (seeded from config serve_polish) runs that many
+    # FULL-PRECISION iterations warm-started from the bfloat16 result, then
+    # pauses — recovering the measured bf16 quality delta (+2%/+4.6% final
+    # loss at 512/1024px) while the bulk of the optimization kept bf16
+    # speed. Mechanics: the driver respawns at `polish_precision` (config,
+    # default float32_fast) through the existing supervisor + GetImages
+    # bootstrap (the session's float32 iterate is the warm start; the
+    # optimizer re-primes, same as the CLI), with the polish programs
+    # precompiled in the background during the final rung. Any user-driven
+    # state change abandons the phase and returns to the main precision.
+
+    _PRECISION_RANK = {'bfloat16': 0, 'float32_fast': 1, 'float32': 2}
+
+    def _polish_iters(self):
+        try:
+            return max(0, int(self.sess.params.get('polish', 0) or 0))
+        except (TypeError, ValueError):
+            return 0
+
+    def _polish_precision(self):
+        return self.config.get('polish_precision', 'float32_fast')
+
+    def _polish_applicable(self):
+        """Polish must strictly RAISE precision (a float32 session
+        'polished' at float32_fast would be a downgrade)."""
+        main = self.config.get('precision', 'float32')
+        polish = self._polish_precision()
+        return (self._polish_iters() > 0
+                and self._PRECISION_RANK.get(polish, -1)
+                > self._PRECISION_RANK.get(main, 99))
+
+    def _start_polish_prewarm(self, hw):
+        """Compiles the polish-precision programs for grid hw in a
+        background thread while the final rung optimizes — the app-level
+        analog of the driver's prewarm loop (the live engine can only warm
+        its OWN precision; a throwaway engine at the polish precision warms
+        the shared builder/executable caches instead)."""
+        if not self._polish_applicable():
+            return
+        import threading
+
+        precision = self._polish_precision()
+        sess = self.sess
+        weights = {name: dict(v) for name, v in sess.params['weights'][0]
+                   .items()}
+        scalars = dict(sess.params['weights'][1])
+        optimizer = sess.params['optimizer']
+        step_size = (sess.params.get('optimizer_step_size')
+                     or m.SetOptimizer.step_sizes[optimizer])
+        style = utils.resize_to_fit(sess.style_image, int(sess.style_size))
+        style_hw = (style.height, style.width)
+        adaptive, depth, spd = self._dispatch_config()
+        if adaptive > 1:
+            ks = (1, max(1, adaptive // depth))
+        elif spd > 1:
+            ks = (1, spd)
+        else:
+            ks = (1,)
+        model_params = self.model_params
+        placement = self.placement
+        use_pallas = self.config.getboolean('pallas', False)
+        remat = self.config.get('remat', '') or False
+
+        def work():
+            try:
+                import time as _time
+                from ..engine import StyleTransfer
+                t0 = _time.perf_counter()
+                rng = np.random.RandomState(0)
+                st = StyleTransfer(model_params, precision=precision,
+                                   placement=placement,
+                                   use_pallas=use_pallas, remat=remat)
+                st.set_weights(weights, scalars)
+                st.set_optimizer(optimizer)
+                st.set_step_size(step_size)
+                st.set_style(rng.randint(0, 256, style_hw + (3,))
+                             .astype(np.uint8))
+                st.set_content(rng.randint(0, 256, hw + (3,))
+                               .astype(np.uint8))
+                st.set_input(rng.randint(0, 256, hw + (3,))
+                             .astype(np.uint8))
+                if not st.start():
+                    raise RuntimeError('polish prewarm failed to start')
+                for k in ks:
+                    if int(k) <= 1:
+                        st.step()
+                    else:
+                        st.collect_steps(st.begin_steps(int(k)), True)
+                logger.info('polish prewarm: %s at %s (chunks %s) in %.1fs',
+                            precision, hw, ks,
+                            _time.perf_counter() - t0)
+            except Exception:
+                logger.warning('polish prewarm failed', exc_info=True)
+        threading.Thread(target=work, name='polish-prewarm',
+                         daemon=True).start()
+
+    async def _maybe_begin_polish(self):
+        if not self._polish_applicable() or self.polish is not None:
+            return
+        n = self._polish_iters()
+        precision = self._polish_precision()
+        self._precision_override = precision
+        self.polish = {'n': n, 'await_ready': True, 'until_i': None}
+        logger.info('polish: respawning engine at %s for %d iterations',
+                    precision, n)
+        await self.restart_engine()
+
+    async def _polish_on_ready(self):
+        """The polish driver came up: resume iterating and anchor the
+        budget at the current counter (the respawn seeded t0=sess.i)."""
+        pol = self.polish
+        if pol is None or not pol.get('await_ready'):
+            return
+        pol['await_ready'] = False
+        pol['until_i'] = self.sess.i + pol['n']
+        await self._to_driver(m.StartIteration())
+        self.sess.running = True
+        self.sess.push_state()
+
+    async def _polish_tick(self):
+        pol = self.polish
+        if (pol is None or pol.get('await_ready')
+                or self.sess.i < pol['until_i']):
+            return
+        self.polish = None
+        logger.info('polish complete at iterate %d; pausing', self.sess.i)
+        await self.pause()
+        self.sess.running = False
+        self.sess.push_state()
+
+    async def _respawn_driver(self):
+        """Synchronous driver replacement (Shutdown -> spawn -> re-feed).
+        Unlike restart_engine — which leaves the respawn to the
+        supervisor's next tick — the caller's subsequent driver messages
+        land on the NEW driver, so state changes queued right after
+        (a reset's SetImages, a restarted ladder's rung-0 grid) aren't
+        lost with the old one."""
+        await self._to_driver(m.Shutdown())
+        self._spawn_driver()
+        await self._to_driver(m.SetOptimizer(
+            self.sess.params['optimizer'],
+            self.sess.params.get('optimizer_step_size')))
+        self.sess.push_state()
+        await self.feed_engine_state()
+
+    async def _exit_polish(self):
+        """A user-driven state change abandons any polish phase: back to
+        the configured main precision. Callers invoke this FIRST, so their
+        own driver messages follow the respawn onto the new driver."""
+        self.polish = None
+        if self._precision_override is not None:
+            self._precision_override = None
+            await self._respawn_driver()
+
     # -- EngineActions (WS inbound commands) -----------------------------------
 
     async def start(self):
@@ -381,6 +576,7 @@ class SingleSessionTier(sn.EngineActions):
         await self._to_driver(m.PauseIteration())
 
     async def reset_input(self):
+        await self._exit_polish()
         sess = self.sess
         image = sn.fresh_random_input(sess.input_arr.shape[:2])
         sess.input_arr = image
@@ -406,6 +602,7 @@ class SingleSessionTier(sn.EngineActions):
             return size
         # A user-driven resize overrides the automated schedule.
         self.ladder = None
+        await self._exit_polish()
         hw = self._snap_grid(
             utils.fit_into_square(sess.input_arr.shape[:2], size, True))
         content = np.uint8(sess.content_image.resize(hw[::-1], Image.LANCZOS))
@@ -428,6 +625,7 @@ class SingleSessionTier(sn.EngineActions):
         """Full session reset (the router's Reset)."""
         await self.pause()
         self.ladder = None
+        await self._exit_polish()
         self.sess.running = False
         self.sess.load_defaults(self.config, ROOT_DIR)
         self.sess.input_arr = None
@@ -477,6 +675,7 @@ class SingleSessionTier(sn.EngineActions):
             sess.push('thumbnails', style=sess.thumbnail('style'))
         elif slot == 'content':
             self.ladder = None   # new content grid overrides the schedule
+            await self._exit_polish()
             arr = np.uint8(utils.resize_to_fit(image, self._snap(size)))
             hw = self._snap_grid(arr.shape[:2])
             if hw != arr.shape[:2]:

@@ -180,6 +180,12 @@ class Session:
         ladder = config.getint('serve_ladder', 0)
         if ladder:
             self.params['ladder'] = ladder
+        # serve_polish = N seeds the full-precision polish tail: when the
+        # ladder completes, N iterations at config polish_precision refine
+        # the bfloat16 result, then the session pauses.
+        polish = config.getint('serve_polish', 0)
+        if polish:
+            self.params['polish'] = polish
         self.style_size = size
 
     # -- iterate bookkeeping ----------------------------------------------------

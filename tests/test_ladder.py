@@ -102,6 +102,55 @@ def test_serving_ladder_climbs_to_target():
         loop.close()
 
 
+def test_serving_polish_runs_full_precision_tail():
+    """After the ladder completes, a session with `polish: N` in its params
+    (seeded from serve_polish) respawns the driver at polish_precision,
+    runs N iterations warm-started from the bfloat16 iterate, then pauses;
+    a user reset abandons the phase back to the main precision."""
+    from style_transfer2_tpu.serve.app import init
+
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    app = init(config=_config(serve_ladder=2, ladder_min_scale=24,
+                              precision='bfloat16', serve_polish=2,
+                              polish_precision='float32'))
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            tier = app['tier']
+            ws = await client.ws_connect('/websocket')
+            await _recv_until(ws, 'newSize')
+            await ws.send_str(json.dumps({'type': 'start'}))
+            # Ladder climbs, then the polish tail runs and pauses the
+            # session at the polish precision.
+            for _ in range(1500):
+                if (tier.ladder is None and tier.polish is None
+                        and tier._precision_override == 'float32'
+                        and not tier.sess.running):
+                    break
+                await asyncio.sleep(0.2)
+            assert tier.ladder is None and tier.polish is None
+            assert tier._precision_override == 'float32'
+            assert not tier.sess.running        # polish done -> paused
+            assert tier.driver.transfer.precision == 'float32'
+            # A user reset abandons the polished state: back to the main
+            # precision (and the coarse-to-fine schedule restarts).
+            await ws.send_str(json.dumps({'type': 'reset'}))
+            for _ in range(300):
+                if tier._precision_override is None:
+                    break
+                await asyncio.sleep(0.1)
+            assert tier._precision_override is None
+            assert tier.driver.transfer.precision == 'bfloat16'
+            await ws.close()
+
+        loop.run_until_complete(asyncio.wait_for(run(), 560))
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+
+
 def test_ladder_cancelled_by_user_resize():
     """A user-driven size change mid-ladder overrides the schedule."""
     from style_transfer2_tpu.serve.app import init
