@@ -24,4 +24,9 @@ run polish_512_f32 timeout 3600 python tools/measure_polish.py \
     --size 512 --iters 240 --polish 60 --polish-precision float32
 run polish_1024 timeout 5400 python tools/measure_polish.py \
     --size 1024 --iters 240 --polish 60
+# The serving analog through the real tier: bf16 ladder then the
+# float32_fast tail, ending at the session's self-pause (wall includes
+# the polish respawn + any residual compile).
+run serve_polish_512 timeout 3600 python tools/measure_serving.py \
+    --converge --size 512 --ladder 120 --polish 60 --seconds 900
 echo "part 15 done" >&2

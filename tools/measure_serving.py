@@ -243,6 +243,9 @@ async def run_converge(args):
     if args.ladder:
         config['serve_ladder'] = str(args.ladder)
         config['ladder_min_scale'] = str(args.ladder_min_scale)
+    if args.polish:
+        config['serve_polish'] = str(args.polish)
+        config['polish_precision'] = args.polish_precision
     app = init(config=config)
     client = TestClient(TestServer(app))
     await client.start_server()
@@ -262,6 +265,38 @@ async def run_converge(args):
     frames = 0
     wall = loss = None
     deadline = t0 + args.seconds
+    if args.polish:
+        # Polish arm: the session paces itself (ladder budgets, then the
+        # full-precision tail, then it pauses). Run to the self-pause and
+        # record the last polish iterate's loss — it is evaluated at the
+        # polish precision, directly comparable to an f32 arm's converged
+        # loss.
+        last_loss = None
+        while time.perf_counter() < deadline:
+            msg = await asyncio.wait_for(ws.receive(), 1200)
+            if msg.type != aiohttp.WSMsgType.TEXT:
+                continue
+            data = json.loads(msg.data)
+            if data['type'] == 'iterateInfo':
+                frames += 1
+                last_loss = float(data['trace']['loss'])
+            if (tier.polish is None and not tier.sess.running
+                    and tier._precision_override is not None):
+                wall = time.perf_counter() - t0
+                loss = last_loss
+                break
+        if wall is None:
+            wall = time.perf_counter() - t0
+            loss = last_loss if last_loss is not None else float('nan')
+        result = {'tier': 'app', 'mode': 'converge', 'size': args.size,
+                  'precision': args.precision, 'ladder': args.ladder,
+                  'polish': args.polish,
+                  'polish_precision': args.polish_precision,
+                  'iters': frames, 'converged_wall_s': round(wall, 1),
+                  'converged_loss': float('%.6g' % loss)}
+        await ws.close()
+        await client.close()
+        return result
     while time.perf_counter() < deadline:
         msg = await asyncio.wait_for(ws.receive(), 1200)
         if msg.type != aiohttp.WSMsgType.TEXT:
@@ -329,6 +364,12 @@ def main(argv=None):
                    help='with --converge: enable the multi-scale serving '
                         'ladder at N iters/rung')
     p.add_argument('--ladder-min-scale', type=int, default=256)
+    p.add_argument('--polish', type=int, default=0,
+                   help='with --converge --ladder: full-precision polish '
+                        'tail of N iterations after the ladder (config '
+                        'serve_polish); the run ends at the self-pause')
+    p.add_argument('--polish-precision', default='float32_fast',
+                   choices=('float32', 'float32_fast'))
     p.add_argument('--platform', default='')
     args = p.parse_args(argv)
 
