@@ -128,6 +128,10 @@ class VideoStylizer:
         # copy HLO): the warm start is donated into the next scan while
         # the target rides its non-donated inputs, and XLA rejects one
         # buffer appearing on both sides.
+        self._prev_pre = self._prepare_fn()(dispatch.image)
+        return dispatch
+
+    def _prepare_fn(self):
         if self._prepare is None:
             import jax
             import jax.numpy as jnp
@@ -138,8 +142,18 @@ class VideoStylizer:
                 return pre, jnp.copy(pre)
 
             self._prepare = jax.jit(prep)
-        self._prev_pre = self._prepare(dispatch.image)
-        return dispatch
+        return self._prepare
+
+    def seed_from(self, stylized_image):
+        """Resume support: seeds the warm-start/temporal chain from a
+        previously STYLIZED frame (the last PNG an interrupted run wrote),
+        as if it had just been collected — the next begin_frame takes the
+        temporal branch. The PNG round trip costs uint8 quantization of
+        the float iterate (<= half a pixel level), well under the
+        frame-to-frame motion the temporal loss absorbs."""
+        self._prev_pre = self._prepare_fn()(
+            np.ascontiguousarray(stylized_image, np.float32))
+        self.prev_stylized = np.float32(stylized_image)
 
     def collect_frame(self, dispatch):
         """Blocks on a begin_frame handle; returns (stylized HxWx3 float32
@@ -200,6 +214,12 @@ def parse_args(argv=None):
                    default='float32')
     p.add_argument('--platform', default='')
     p.add_argument('--steps-per-dispatch', type=int, default=20)
+    p.add_argument('--resume', action='store_true',
+                   help='skip frames whose stylized output already exists '
+                        '(contiguous prefix) and continue the temporal '
+                        'chain from the last written frame — an '
+                        'interrupted run restarts where it died instead '
+                        'of at frame 1')
     p.add_argument('--pallas', action='store_true')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--debug', '-d', action='count', default=0)
@@ -251,6 +271,27 @@ def main(argv=None):
     # host transfer (collect_frames), since over a tunneled backend the
     # per-collect link round trip is the steady-state floor.
     size_wh = None
+    start_idx = 0
+    if args.resume:
+        # Contiguous prefix of existing outputs = already done; the chain
+        # reseeds from the last one (a gap would break the temporal chain,
+        # so only the prefix counts).
+        while (start_idx < len(frames) and
+               (out_dir / ('%s_stylized.png'
+                           % frames[start_idx].stem)).exists()):
+            start_idx += 1
+        if start_idx:
+            last = out_dir / ('%s_stylized.png' % frames[start_idx - 1].stem)
+            prev = np.uint8(Image.open(last).convert('RGB'))
+            size_wh = (prev.shape[1], prev.shape[0])
+            stylizer.seed_from(prev)
+            logger.info('resume: %d frame(s) already stylized; chain '
+                        'reseeded from %s', start_idx, last.name)
+        if start_idx >= len(frames):
+            logger.info('resume: all %d frames already stylized',
+                        len(frames))
+            return 0
+
     t0 = time.perf_counter()
     t_first = None
     pending = []  # (dispatch, out_path, index)
@@ -267,10 +308,14 @@ def main(argv=None):
                 t_first = time.perf_counter() - t0
 
     for idx, frame_path in enumerate(frames):
+        if idx < start_idx:
+            continue
         frame, size_wh = load_frame(frame_path, size_wh)
         dispatch = stylizer.begin_frame(frame)
         if idx == 0 and len(frames) > 1:
-            # Compile the temporal programs while frame 1 optimizes.
+            # Compile the temporal programs while frame 1 optimizes. (A
+            # resumed run starts ON the temporal objective, so its first
+            # dispatch compiles it inline — nothing to overlap with.)
             stylizer.prewarm_temporal((size_wh[1], size_wh[0]))
         pending.append(
             (dispatch, out_dir / ('%s_stylized.png' % frame_path.stem), idx))
@@ -280,9 +325,11 @@ def main(argv=None):
     if pending:
         drain(pending)
     dt = time.perf_counter() - t0
-    steady = (dt - (t_first or dt)) / max(len(frames) - 1, 1)
+    n_done = len(frames) - start_idx
+    first_wall = t_first if t_first is not None else 0.0
+    steady = (dt - first_wall) / max(n_done - (1 if t_first else 0), 1)
     logger.info('stylized %d frames in %.1fs (first frame %.1fs, '
-                '%.2f s/frame steady-state)', len(frames), dt,
+                '%.2f s/frame steady-state)', n_done, dt,
                 t_first or dt, steady)
     return 0
 

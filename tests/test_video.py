@@ -119,6 +119,45 @@ def test_video_cli_end_to_end(tmp_path, rng):
     assert all(Image.open(o).size == (24, 24) for o in outs)
 
 
+def test_video_resume_continues_the_chain(tmp_path, rng):
+    """--resume skips the contiguous prefix of existing outputs, reseeds
+    the temporal chain from the last written frame, and leaves the done
+    frames untouched; with everything present it no-ops."""
+    from style_transfer2_tpu.video import main as video_main
+
+    frames_dir = tmp_path / 'frames'
+    frames_dir.mkdir()
+    for i, f in enumerate(_frames(4)):
+        Image.fromarray(f).save(frames_dir / ('frame_%03d.png' % i))
+    style_path = tmp_path / 'style.png'
+    Image.fromarray(rng.randint(0, 256, (24, 24, 3))
+                    .astype(np.uint8)).save(style_path)
+    out_dir = tmp_path / 'out'
+    args = [str(frames_dir), str(style_path), str(out_dir),
+            '--size', '24', '--first-iterations', '4',
+            '--iterations', '2', '--model-weights', 'random',
+            '--platform', 'cpu', '--steps-per-dispatch', '2',
+            '--optimizer', 'adam']
+
+    assert video_main(args) == 0
+    outs = sorted(out_dir.iterdir())
+    assert len(outs) == 4
+    # "Crash" after frame 2: drop the tail, resume.
+    (out_dir / 'frame_002_stylized.png').unlink()
+    (out_dir / 'frame_003_stylized.png').unlink()
+    mtime0 = (out_dir / 'frame_000_stylized.png').stat().st_mtime
+    assert video_main(args + ['--resume']) == 0
+    outs = sorted(out_dir.iterdir())
+    assert len(outs) == 4
+    assert (out_dir / 'frame_000_stylized.png').stat().st_mtime == mtime0
+    assert all(Image.open(o).size == (24, 24) for o in outs)
+    # All present: pure no-op (nothing rewritten).
+    mtimes = {o.name: o.stat().st_mtime for o in outs}
+    assert video_main(args + ['--resume']) == 0
+    assert {o.name: o.stat().st_mtime
+            for o in sorted(out_dir.iterdir())} == mtimes
+
+
 def test_video_pipeline_lbfgs(rng):
     """The video loop with the default L-BFGS optimizer: per-frame
     objective changes clear the history and re-prime cleanly."""
