@@ -67,6 +67,10 @@ def parse_args(argv=None):
                         '(--output becomes a directory)')
     p.add_argument('--lanes', type=int, default=4,
                    help='concurrent images per dispatch in --batch mode')
+    p.add_argument('--skip-existing', action='store_true',
+                   help='--batch: skip inputs whose styled output already '
+                        'exists, so an interrupted batch restarts where '
+                        'it died (images are independent jobs)')
     p.add_argument('--data-mesh', default='',
                    help="shard --batch lanes over a 'data' mesh "
                         "('auto', or a device count)")
@@ -170,6 +174,16 @@ def run_batch(args):
     if args.multi_scale or args.mesh:
         raise SystemExit('--batch does not combine with --multi-scale or '
                          'the spatial --mesh (use --data-mesh)')
+    if args.skip_existing:
+        todo = [p for p in paths
+                if not (outdir / (p.stem + '_styled.png')).exists()]
+        if len(todo) < len(paths):
+            logger.info('--skip-existing: %d of %d already styled',
+                        len(paths) - len(todo), len(paths))
+        paths = todo
+        if not paths:
+            logger.info('--skip-existing: nothing to do')
+            return 0
 
     placement = None
     if args.data_mesh:

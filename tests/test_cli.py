@@ -279,6 +279,39 @@ def test_cli_batch_mode(tmp_path):
     assert np.abs(arr_a - arr_b).mean() > 1.0
 
 
+def test_cli_batch_skip_existing(tmp_path):
+    """--skip-existing restarts an interrupted batch at the first missing
+    output: styled images are left untouched, only the rest run."""
+    rng = np.random.RandomState(5)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    for name in ('a', 'b', 'c'):
+        Image.fromarray(rng.randint(0, 256, (40, 60, 3))
+                        .astype(np.uint8)).save(indir / (name + '.png'))
+    style = tmp_path / 'style.png'
+    Image.fromarray(rng.randint(0, 256, (44, 44, 3))
+                    .astype(np.uint8)).save(style)
+    outdir = tmp_path / 'out'
+    args = [str(indir), str(style), '--batch', '-o', str(outdir),
+            '--size', '32', '--iterations', '4', '--lanes', '2',
+            '--optimizer', 'adam', '--model-weights', 'random',
+            '--platform', 'cpu', '--steps-per-dispatch', '2']
+
+    assert cli_main(args) == 0
+    assert len(list(outdir.iterdir())) == 3
+    (outdir / 'b_styled.png').unlink()
+    (outdir / 'c_styled.png').unlink()
+    mtime_a = (outdir / 'a_styled.png').stat().st_mtime
+    assert cli_main(args + ['--skip-existing']) == 0
+    assert sorted(p.name for p in outdir.iterdir()) == \
+        ['a_styled.png', 'b_styled.png', 'c_styled.png']
+    assert (outdir / 'a_styled.png').stat().st_mtime == mtime_a
+    # Everything present: no-op.
+    mtimes = {p.name: p.stat().st_mtime for p in outdir.iterdir()}
+    assert cli_main(args + ['--skip-existing']) == 0
+    assert {p.name: p.stat().st_mtime for p in outdir.iterdir()} == mtimes
+
+
 def test_cli_batch_pipelined_matches_sync(tmp_path):
     """--batch with --pipeline-depth N keeps several fused chunks in
     flight per wave (begin_steps_all chains on device); the chunk plan is
