@@ -423,8 +423,6 @@ class SingleSessionTier(sn.EngineActions):
     # precompiled in the background during the final rung. Any user-driven
     # state change abandons the phase and returns to the main precision.
 
-    _PRECISION_RANK = {'bfloat16': 0, 'float32_fast': 1, 'float32': 2}
-
     def _polish_iters(self):
         try:
             return max(0, int(self.sess.params.get('polish', 0) or 0))
@@ -440,8 +438,8 @@ class SingleSessionTier(sn.EngineActions):
         main = self.config.get('precision', 'float32')
         polish = self._polish_precision()
         return (self._polish_iters() > 0
-                and self._PRECISION_RANK.get(polish, -1)
-                > self._PRECISION_RANK.get(main, 99))
+                and sn.PRECISION_RANK.get(polish, -1)
+                > sn.PRECISION_RANK.get(main, 99))
 
     def _start_polish_prewarm(self, hw):
         """Compiles the polish-precision programs for grid hw in a

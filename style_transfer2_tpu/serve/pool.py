@@ -58,14 +58,16 @@ class PoolSession(sn.Session):
     """A Session bound to one batch lane of one resolution bucket, with
     idle-expiry bookkeeping."""
 
-    def __init__(self, session_id, lane, bucket_hw):
+    def __init__(self, session_id, lane, bucket_hw, precision):
         super().__init__()
         self.session_id = session_id
         self.lane = lane
         self.bucket_hw = bucket_hw
+        self.precision = precision   # bucket identity = (bucket_hw, precision)
         self.last_access = time.monotonic()
         self.last_image_fetch = 0.0
         self.ladder = None   # active multi-scale schedule (PooledTier)
+        self.polish = None   # active full-precision tail (PooledTier)
 
     def touch(self):
         self.last_access = time.monotonic()
@@ -98,10 +100,13 @@ class LaneActions(sn.EngineActions):
 
     async def reset_input(self):
         self.sess.ladder = None   # a reset restarts the schedule
+        self.sess.polish = None   # abandon any full-precision tail
         await self.tier.engine_op(self.tier.requeue, self.sess,
                                   reset_input=True)
         # The iterate counter restarts at 1, so a configured ladder
-        # re-begins from its smallest rung.
+        # re-begins from its smallest rung — whose migration also exits a
+        # polish bucket (bucket_for's default precision). Without a
+        # ladder the reset re-optimizes in place, polish bucket included.
         await self.tier.maybe_begin_ladder(self.sess)
 
     async def restart_engine(self):
@@ -117,10 +122,14 @@ class LaneActions(sn.EngineActions):
 
     async def change_size(self, size):
         size = int(size)
-        if size == max(self.sess.bucket_hw):
+        if (size == max(self.sess.bucket_hw)
+                and self.sess.precision == self.tier.main_precision()):
             return size
-        # A user-driven resize overrides the automated ladder schedule.
+        # A user-driven resize overrides the automated schedules; the
+        # default-precision migration also exits a polish bucket (even at
+        # the same size — the not-equal check above lets that through).
         self.sess.ladder = None
+        self.sess.polish = None
         await self.tier.migrate_session(self.sess, size)
         return size
 
@@ -149,7 +158,7 @@ class PooledTier:
     def __init__(self, config, debug_level=0):
         self.config = config
         self.debug_level = debug_level
-        self.engines = {}            # bucket hw -> BatchedStyleTransfer
+        self.engines = {}    # (bucket hw, precision) -> BatchedStyleTransfer
         self.default_hw = None
         self.base_hw = None          # aspect prototype for hw_for()
         self.model_params = None
@@ -243,23 +252,31 @@ class PooledTier:
             return DataPlacement(Mesh(sub, ('data',)))
         return self.placement
 
-    def bucket_for(self, size):
-        """The engine serving `size`, created lazily."""
+    def main_precision(self):
+        return self.config.get('precision', 'float32')
+
+    def bucket_for(self, size, precision=None):
+        """The engine serving `size` at `precision` (default: the tier's
+        configured precision), created lazily. Buckets are keyed by
+        (grid, precision): the polish tail puts sessions in a
+        full-precision bucket at the SAME grid as their bfloat16 one."""
+        precision = precision or self.main_precision()
         hw = self.hw_for(size)
-        if hw not in self.engines:
-            self.engines[hw] = BatchedStyleTransfer(
+        key = (hw, precision)
+        if key not in self.engines:
+            self.engines[key] = BatchedStyleTransfer(
                 self.model_params, self.weights_doc[0], self.weights_doc[1],
                 hw, max_lanes=self.config.getint('pool_lanes', 4),
                 optimizer=self.config.get('pool_optimizer', 'adam'),
-                precision=self.config.get('precision', 'float32'),
+                precision=precision,
                 placement=self.bucket_placement(size))
-            logger.info('created bucket %s', hw)
-        return self.engines[hw]
+            logger.info('created bucket %s at %s', hw, precision)
+        return self.engines[key]
 
     def engine_of(self, sess):
-        return self.engines[sess.bucket_hw]
+        return self.engines[(sess.bucket_hw, sess.precision)]
 
-    def prewarm_bucket(self, size, k):
+    def prewarm_bucket(self, size, k, precision=None):
         """Compiles the programs a future bucket at `size` dispatches —
         add_job's feature/Gram forwards, run_steps_all(k), lane_image —
         on a throwaway engine, WITHOUT creating the real bucket (an empty
@@ -272,7 +289,7 @@ class PooledTier:
             self.model_params, self.weights_doc[0], self.weights_doc[1],
             hw, max_lanes=self.config.getint('pool_lanes', 4),
             optimizer=self.config.get('pool_optimizer', 'adam'),
-            precision=self.config.get('precision', 'float32'),
+            precision=precision or self.main_precision(),
             placement=self.bucket_placement(size))
         rng = np.random.RandomState(0)
         img = rng.randint(0, 256, hw + (3,)).astype(np.uint8)
@@ -297,7 +314,8 @@ class PooledTier:
             for size in self.allowed_sizes() or []:
                 if self.wedged:
                     return
-                if self.hw_for(size) in self.engines:
+                if (self.hw_for(size),
+                        self.main_precision()) in self.engines:
                     continue
                 try:
                     t0 = time.monotonic()
@@ -344,17 +362,18 @@ class PooledTier:
                 text='Style Transfer device backend is unavailable; this '
                      'instance is draining.')
 
-    async def migrate_session(self, sess, size):
-        """Moves a session to the bucket serving `size` with warm-started
-        state (the tier-level body of a size change; LaneActions and the
-        pooled ladder both route here). Lane allocation happens on the
-        event loop under lane_lock (atomic vs lookup()); the bucket may
-        need creating first — that is device work, so it runs on the
-        executor while we hold the lock (brief, rare: once per new
-        resolution)."""
+    async def migrate_session(self, sess, size, precision=None):
+        """Moves a session to the bucket serving `size` (at `precision`,
+        default the tier's main — the polish tail passes the raised one)
+        with warm-started state (the tier-level body of a size change;
+        LaneActions and the pooled ladder both route here). Lane
+        allocation happens on the event loop under lane_lock (atomic vs
+        lookup()); the bucket may need creating first — that is device
+        work, so it runs on the executor while we hold the lock (brief,
+        rare: once per new resolution)."""
         self.check_size_allowed(size)
         async with self.lane_lock:
-            engine = await self.engine_op(self.bucket_for, size)
+            engine = await self.engine_op(self.bucket_for, size, precision)
             new_lane = engine.free_lane()
             if new_lane is None:
                 raise sn.SizeRejected(
@@ -362,7 +381,8 @@ class PooledTier:
                     % size)
             engine.active[new_lane] = True
         try:
-            await self.engine_op(self.migrate, sess, size, new_lane)
+            await self.engine_op(self.migrate, sess, size, new_lane,
+                                 precision)
         except Exception:
             engine.active[new_lane] = False  # un-claim; session intact
             raise
@@ -420,8 +440,14 @@ class PooledTier:
             sess.ladder = None
             logger.info('pooled ladder for %s complete at %s',
                         sess.session_id, sess.bucket_hw)
+            self._maybe_begin_polish(sess)
             return
         size = lad['rungs'][lad['idx']]
+        if (lad['idx'] == len(lad['rungs']) - 1
+                and self._polish_applicable(sess)):
+            # Final rung: compile the polish bucket's programs in the
+            # background while it optimizes.
+            self._start_polish_prewarm(size)
         lad['migrating'] = True
 
         async def go():
@@ -451,6 +477,101 @@ class PooledTier:
 
         asyncio.ensure_future(go())
 
+    # -- pooled polish tail -----------------------------------------------------
+    #
+    # The single-session tier's polish (serve/app.py) for pooled sessions:
+    # when the pooled ladder completes, a session with `polish: N` in its
+    # params migrates to a bucket at the SAME grid but the raised
+    # polish_precision (iterate carried, optimizer re-primed — the
+    # cross-precision migrate), runs N iterations there, and pauses. Any
+    # later size change or ladder restart migrates through bucket_for's
+    # default precision, which is the exit.
+
+    def _polish_iters(self, sess):
+        try:
+            return max(0, int(sess.params.get('polish', 0) or 0))
+        except (TypeError, ValueError):
+            return 0
+
+    def _polish_precision(self):
+        return self.config.get('polish_precision', 'float32_fast')
+
+    def _polish_applicable(self, sess):
+        return (self._polish_iters(sess) > 0
+                and sn.PRECISION_RANK.get(self._polish_precision(), -1)
+                > sn.PRECISION_RANK.get(self.main_precision(), 99))
+
+    def _start_polish_prewarm(self, size):
+        """Compiles the polish-precision bucket's programs on a background
+        thread (prewarm_bucket on a throwaway engine — the shared builder
+        caches make the real polish bucket's first dispatch warm)."""
+        import threading
+
+        precision = self._polish_precision()
+        k = self.config.getint('pool_steps_per_dispatch', 1)
+
+        def work():
+            try:
+                t0 = time.monotonic()
+                hw = self.prewarm_bucket(size, k, precision=precision)
+                logger.info('polish bucket prewarm %s at %s in %.1fs', hw,
+                            precision, time.monotonic() - t0)
+            except Exception:
+                logger.warning('polish bucket prewarm at %d failed', size,
+                               exc_info=True)
+        threading.Thread(target=work, name='pool-polish-prewarm',
+                         daemon=True).start()
+
+    def _maybe_begin_polish(self, sess):
+        """Called from the drive fan-out when the ladder completes:
+        schedules the cross-precision migration as its own task, like a
+        rung advance."""
+        if not self._polish_applicable(sess) or sess.polish is not None:
+            return
+        n = self._polish_iters(sess)
+        precision = self._polish_precision()
+        size = max(sess.bucket_hw)
+        pol = sess.polish = {'n': n, 'until_i': None, 'migrating': True}
+        logger.info('pooled polish for %s: migrating to %s for %d '
+                    'iterations', sess.session_id, precision, n)
+
+        async def go():
+            if sess.polish is not pol:
+                return   # user action cancelled it before we started
+            try:
+                await self.migrate_session(sess, size, precision=precision)
+                pol['until_i'] = sess.i + n
+                pol['migrating'] = False
+            except Exception:
+                sess.polish = None
+                logger.warning('pooled polish migration for %s failed; '
+                               'tail skipped', sess.session_id,
+                               exc_info=True)
+        asyncio.ensure_future(go())
+
+    def _polish_tick(self, sess):
+        """Called from the drive fan-out: ends the tail once its budget is
+        spent — pause the lane (its own task; the tick holds tick_lock)."""
+        pol = sess.polish
+        if (pol is None or pol.get('migrating')
+                or sess.i < pol['until_i']):
+            return
+        sess.polish = None
+
+        async def go():
+            try:
+                await self.engine_op(self.engine_of(sess).set_running,
+                                     sess.lane, False)
+            except Exception:
+                logger.warning('pooled polish pause for %s failed',
+                               sess.session_id, exc_info=True)
+                return
+            sess.running = False
+            sess.push_state()
+            logger.info('pooled polish complete for %s at iterate %d; '
+                        'paused', sess.session_id, sess.i)
+        asyncio.ensure_future(go())
+
     async def engine_op(self, fn, *args, **kwargs):
         """Runs an engine/session mutation atomically with respect to the
         stepping task: the tick lock excludes an in-flight dispatch+fan-out
@@ -462,10 +583,11 @@ class PooledTier:
             return await self._device_call(fn, *args, **kwargs)
 
     def _drop_empty_buckets(self):
-        for hw, engine in list(self.engines.items()):
-            if hw != self.default_hw and not any(engine.active):
-                del self.engines[hw]
-                logger.info('dropped empty bucket %s', hw)
+        default_key = (self.default_hw, self.main_precision())
+        for key, engine in list(self.engines.items()):
+            if key != default_key and not any(engine.active):
+                del self.engines[key]
+                logger.info('dropped empty bucket %s at %s', *key)
 
     # -- session table --------------------------------------------------------
 
@@ -481,12 +603,13 @@ class PooledTier:
         # last snapshot) while wedged; CREATING one needs device work.
         self._check_not_wedged()
         async with self.lane_lock:
-            engine = self.engines[self.default_hw]
+            engine = self.engines[(self.default_hw, self.main_precision())]
             lane = engine.free_lane()
             if lane is None:
                 raise web.HTTPServiceUnavailable()
             sid = os.urandom(8).hex()
-            sess = PoolSession(sid, lane, self.default_hw)
+            sess = PoolSession(sid, lane, self.default_hw,
+                               self.main_precision())
             engine.active[lane] = True   # claim before yielding (running
             self.sessions[sid] = sess    # stays False until start)
         try:
@@ -596,7 +719,7 @@ class PooledTier:
                 logger.warning('skipping session %s: bucket %s is full',
                                sid, engine.hw)
                 continue
-            sess = PoolSession(sid, lane, engine.hw)
+            sess = PoolSession(sid, lane, engine.hw, self.main_precision())
             if not persist.load_session(path, sess):
                 continue
             if (sess.input_arr is None
@@ -682,16 +805,21 @@ class PooledTier:
         sess.i = t
         engine.set_running(sess.lane, was_running)
 
-    def migrate(self, sess, size, new_lane):
+    def migrate(self, sess, size, new_lane, precision=None):
         """Moves a session to the bucket serving `size` with warm-started
         state: the iterate and optimizer moments resample to the new grid
         (reference optimizers.py:29-40); a session still at iterate <= 1
         re-seeds cold from a fresh random input (reference app.py:187-194).
+        A CROSS-PRECISION move (the polish tail, or its exit) carries the
+        iterate but not the optimizer state — the moments' dtypes belong
+        to the old bucket's program, so the optimizer re-primes at the new
+        precision, same as the single-session tier's polish respawn.
         `new_lane` must already be CLAIMED by the caller on the event loop
         (LaneActions.change_size under lane_lock) — allocation in this
         executor-thread context would race lookup()."""
+        precision = precision or self.main_precision()
         old_engine = self.engine_of(sess)
-        new_engine = self.bucket_for(size)
+        new_engine = self.bucket_for(size, precision)
         new_hw = self.hw_for(size)
 
         was_running = old_engine.running[sess.lane]
@@ -703,10 +831,11 @@ class PooledTier:
         lane_state = None
         t = 0
         if sess.i > 1:
-            mod = OPTIMIZERS[old_engine.optimizer_name]
-            lane_state = mod.resample(old_engine.lane_state(sess.lane),
-                                      new_hw)
-            lane_state = mod.objective_changed(lane_state)
+            if precision == sess.precision:
+                mod = OPTIMIZERS[old_engine.optimizer_name]
+                lane_state = mod.resample(old_engine.lane_state(sess.lane),
+                                          new_hw)
+                lane_state = mod.objective_changed(lane_state)
             t = sess.i
             sess.input_arr = utils.resample_hwc(sess.input_arr, new_hw)
         else:
@@ -723,11 +852,12 @@ class PooledTier:
         new_engine.set_running(new_lane, was_running)
         sess.lane = new_lane
         sess.bucket_hw = new_hw
+        sess.precision = precision
         sess.its_per_s.clear()
         self._drop_empty_buckets()
-        logger.info('migrated session %s to bucket %s lane %d (warm=%s)',
-                    sess.session_id, new_hw, new_lane,
-                    lane_state is not None)
+        logger.info('migrated session %s to bucket %s at %s lane %d '
+                    '(warm=%s)', sess.session_id, new_hw, precision,
+                    new_lane, lane_state is not None)
 
     # -- the batched stepping task ------------------------------------------
 
@@ -762,8 +892,14 @@ class PooledTier:
                 # (pool_bucket_devices) compute concurrently; same-device
                 # buckets still timeshare as before.
                 async with self.tick_lock:
-                    by_key = {(s.bucket_hw, s.lane): s
-                              for s in self.sessions.values()}
+                    # Engine IDENTITY keys the fan-out: a polish bucket
+                    # shares its grid with the main bucket, so (hw, lane)
+                    # would alias across them.
+                    by_key = {}
+                    for s in self.sessions.values():
+                        eng = self.engines.get((s.bucket_hw, s.precision))
+                        if eng is not None:
+                            by_key[(id(eng), s.lane)] = s
                     handles = []
                     for engine in busy_engines:
                         handle = await self._device_call(
@@ -774,7 +910,7 @@ class PooledTier:
                         lane_traces = await self._device_call(
                             engine.collect_steps_all, handle)
                         for lane, traces in lane_traces.items():
-                            sess = by_key.get((engine.hw, lane))
+                            sess = by_key.get((id(engine), lane))
                             if sess is None:
                                 continue
                             now = time.monotonic()
@@ -789,6 +925,7 @@ class PooledTier:
                                 sess.last_image_fetch = now
                             sess.note_iterates(engine.t[lane], image, traces)
                             self._ladder_tick(sess)
+                            self._polish_tick(sess)
                 await asyncio.sleep(0)
         except DeviceTimeoutError:
             logger.critical('drive loop stopped by the device watchdog')

@@ -82,6 +82,12 @@ def check_control_auth(request, config):
                    'is configured')
 
 
+# The precision ladder, ordered by fidelity: the polish machinery in both
+# serving tiers only ever moves a session UP this ranking (a float32
+# session "polished" at float32_fast would be a downgrade).
+PRECISION_RANK = {'bfloat16': 0, 'float32_fast': 1, 'float32': 2}
+
+
 class Session:
     """Host-side state of one interactive user session.
 

@@ -133,7 +133,8 @@ def test_two_sessions_share_one_engine(pool_client):
         assert info_a['i'] >= 1
         lane_b = [s.lane for s in app['tier'].sessions.values()
                   if s.session_id == b.cookie][0]
-        assert app['tier'].engines[app['tier'].default_hw].t[lane_b] == 0
+        assert app['tier'].engines[(app['tier'].default_hw,
+                             app['tier'].main_precision())].t[lane_b] == 0
 
         # Start B too; both advance independently.
         await b.send({'type': 'start'})
@@ -150,10 +151,12 @@ def test_two_sessions_share_one_engine(pool_client):
         await asyncio.sleep(0.3)
         lane_a = [s.lane for s in app['tier'].sessions.values()
                   if s.session_id == a.cookie][0]
-        t_a = app['tier'].engines[app['tier'].default_hw].t[lane_a]
+        t_a = app['tier'].engines[(app['tier'].default_hw,
+                             app['tier'].main_precision())].t[lane_a]
         b.got.pop('iterateInfo')
         await b.recv_until('iterateInfo')
-        assert app['tier'].engines[app['tier'].default_hw].t[lane_a] == t_a  # frozen
+        assert app['tier'].engines[(app['tier'].default_hw,
+                             app['tier'].main_precision())].t[lane_a] == t_a  # frozen
 
         # Per-lane weight VALUE change is accepted.
         params = yaml.safe_load(b.got['newParams']['params'])
@@ -545,7 +548,8 @@ def test_pool_bucket_prewarm(pool_client_prewarm):
 
         await asyncio.wait_for(tier._prewarm_task, 600)
         # Throwaway engines only: the 48px bucket does not exist yet.
-        assert set(tier.engines) == {tier.default_hw}
+        assert set(tier.engines) == {(tier.default_hw,
+                                      tier.main_precision())}
 
         # Live session still iterating; migration into the prewarmed
         # bucket works (its programs are now cached).
@@ -620,13 +624,14 @@ def test_pool_bucket_device_subsets():
             assert np.isfinite(ib['trace']['loss'])
 
             devices = jax.devices()
-            expect = {tier.hw_for(32): {devices[0], devices[1]},
-                      tier.hw_for(48): {devices[2], devices[3]}}
+            main = tier.main_precision()
+            expect = {(tier.hw_for(32), main): {devices[0], devices[1]},
+                      (tier.hw_for(48), main): {devices[2], devices[3]}}
             assert set(tier.engines) == set(expect)
-            for hw, want in expect.items():
-                x = tier.engines[hw].states['x']
+            for key, want in expect.items():
+                x = tier.engines[key].states['x']
                 used = set(x.sharding.mesh.devices.flat)
-                assert used == want, (hw, used, want)
+                assert used == want, (key, used, want)
             await a.ws.close()
             await b.ws.close()
 
@@ -687,6 +692,68 @@ def test_pooled_ladder_climbs_buckets():
             await a.ws.close()
 
         loop.run_until_complete(asyncio.wait_for(run(), 600))
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+
+
+def test_pooled_polish_tail_and_exit():
+    """Pooled polish: when the ladder completes, a `polish` session
+    migrates to a bucket at the SAME grid but the raised polish precision
+    (iterate carried, optimizer re-primed), runs N iterations, and pauses;
+    a reset's restarted ladder migrates it back to the main precision."""
+    from style_transfer2_tpu.serve.pool import init
+
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    config = _config()
+    config['initial_size'] = '32'
+    config['pool_sizes'] = '24 32'
+    config['serve_ladder'] = '2'
+    config['precision'] = 'bfloat16'
+    config['serve_polish'] = '2'
+    config['polish_precision'] = 'float32'
+    app = init(config=config)
+    jar = loop.run_until_complete(_make_jar(loop))
+    client = TestClient(TestServer(app), loop=loop, cookie_jar=jar)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            tier = app['tier']
+            a = await WSSession(client).open()
+            await a.recv_until('state')
+            sess = next(iter(tier.sessions.values()))
+            target_hw = sess.bucket_hw
+            assert sess.precision == 'bfloat16'
+
+            await a.send({'type': 'start'})
+            # Ladder 24 -> 32, then the polish tail runs and pauses.
+            for _ in range(1500):
+                if (sess.ladder is None and sess.polish is None
+                        and sess.precision == 'float32'
+                        and not sess.running):
+                    break
+                await asyncio.sleep(0.2)
+            assert sess.ladder is None and sess.polish is None
+            assert sess.precision == 'float32'
+            assert not sess.running            # tail done -> paused
+            assert sess.bucket_hw == target_hw  # same grid, raised precision
+            assert tier.engine_of(sess).precision == 'float32'
+            i_polished = sess.i
+
+            # Reset: the restarted ladder's rung-0 migration exits the
+            # polish bucket back to the main precision.
+            await a.send({'type': 'reset'})
+            for _ in range(300):
+                if sess.precision == 'bfloat16':
+                    break
+                await asyncio.sleep(0.2)
+            assert sess.precision == 'bfloat16'
+            assert sess.ladder is not None     # schedule restarted
+            assert i_polished >= 2             # the tail actually iterated
+            await a.ws.close()
+
+        loop.run_until_complete(asyncio.wait_for(run(), 560))
     finally:
         loop.run_until_complete(client.close())
         loop.close()
