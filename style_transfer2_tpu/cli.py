@@ -175,8 +175,21 @@ def run_batch(args):
         raise SystemExit('--batch does not combine with --multi-scale or '
                          'the spatial --mesh (use --data-mesh)')
     if args.skip_existing:
-        todo = [p for p in paths
-                if not (outdir / (p.stem + '_styled.png')).exists()]
+        def styled_ok(p):
+            """A half-written PNG (the run died mid-save) is NOT done —
+            verify() catches truncation without a full decode."""
+            out = outdir / (p.stem + '_styled.png')
+            if not out.exists():
+                return False
+            try:
+                with Image.open(out) as img:
+                    img.verify()
+                return True
+            except Exception:
+                logger.warning('--skip-existing: %s is corrupt; redoing',
+                               out.name)
+                return False
+        todo = [p for p in paths if not styled_ok(p)]
         if len(todo) < len(paths):
             logger.info('--skip-existing: %d of %d already styled',
                         len(paths) - len(todo), len(paths))
@@ -427,7 +440,14 @@ def main(argv=None):
             # of the same program.
             prewarm_thread.join()
 
-    if args.polish and args.polish_precision != args.precision:
+    # Polish only ever RAISES precision (the serving tiers share this
+    # gate via PRECISION_RANK): --precision float32 with the default
+    # --polish-precision float32_fast would silently DOWNGRADE the
+    # reference-exact result.
+    from .serve.session import PRECISION_RANK
+    polish_raises = (PRECISION_RANK.get(args.polish_precision, -1)
+                     > PRECISION_RANK.get(args.precision, 99))
+    if args.polish and polish_raises:
         # Polish phase: refine the result with full-precision iterations,
         # warm-started from the final iterate (snapshot -> preprocess is a
         # lossless mean-shift round trip; the optimizer re-primes at the
@@ -477,14 +497,19 @@ def main(argv=None):
             stp.write_trace(polish_csv)
             logger.info('wrote %s', polish_csv)
             args.trace_csv = None
+        total_iterations = st.t + stp.t
         st = stp
     elif args.polish:
-        logger.info('polish skipped: --precision already %s', args.precision)
+        total_iterations = st.t
+        logger.info('polish skipped: --polish-precision %s does not raise '
+                    '--precision %s', args.polish_precision, args.precision)
+    else:
+        total_iterations = st.t
 
     image = st.snapshot()
     im.as_pil(image).save(args.output)
-    logger.info('wrote %s after %d iterations in %.1fs', args.output, st.t,
-                time.perf_counter() - total_t0)
+    logger.info('wrote %s after %d iterations in %.1fs', args.output,
+                total_iterations, time.perf_counter() - total_t0)
 
     if profile_ctx:
         jax.profiler.stop_trace()

@@ -149,12 +149,6 @@ class SingleSessionTier(sn.EngineActions):
     def _spawn_driver(self):
         self.sess.running = False
         self.sess.worker_ready = False
-        # adaptive_dispatch default: 60 (the measured sweet spot — with
-        # depth-2 pipelining each sub-chunk is 30 steps, the minimum whose
-        # compute covers the tunnel RTT). A config that explicitly sets
-        # steps_per_dispatch but not adaptive_dispatch predates the
-        # adaptive mode and keeps its static behavior (adaptive would
-        # silently override it).
         adaptive, depth, spd = self._dispatch_config()
         remat = self.config.get('remat', '')
         if remat not in ('', 'conv', 'block'):
@@ -623,7 +617,16 @@ class SingleSessionTier(sn.EngineActions):
         """Full session reset (the router's Reset)."""
         await self.pause()
         self.ladder = None
-        await self._exit_polish()
+        # Exit any polish WITHOUT _exit_polish's re-feed: the state it
+        # would feed is discarded by load_defaults below, and this path
+        # does its own feed — one Shutdown + spawn suffices (the fresh
+        # driver boots the default optimizer, which load_defaults also
+        # restores in the params document).
+        self.polish = None
+        if self._precision_override is not None:
+            self._precision_override = None
+            await self._to_driver(m.Shutdown())
+            self._spawn_driver()
         self.sess.running = False
         self.sess.load_defaults(self.config, ROOT_DIR)
         self.sess.input_arr = None

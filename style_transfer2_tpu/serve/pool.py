@@ -540,13 +540,31 @@ class PooledTier:
                 return   # user action cancelled it before we started
             try:
                 await self.migrate_session(sess, size, precision=precision)
-                pol['until_i'] = sess.i + n
-                pol['migrating'] = False
             except Exception:
-                sess.polish = None
+                if sess.polish is pol:
+                    sess.polish = None
                 logger.warning('pooled polish migration for %s failed; '
                                'tail skipped', sess.session_id,
                                exc_info=True)
+                return
+            if sess.polish is not pol:
+                # A user action (size change, reset) landed while we
+                # migrated and our move clobbered it: undo — back to the
+                # main precision at the current grid, so the session is
+                # never stranded at the raised precision with no active
+                # tail. (If the user's own migration ran after ours the
+                # session is already back at the main precision — skip.)
+                if sess.precision != self.main_precision():
+                    try:
+                        await self.migrate_session(sess,
+                                                   max(sess.bucket_hw))
+                    except Exception:
+                        logger.warning('pooled polish cancel-revert for '
+                                       '%s failed', sess.session_id,
+                                       exc_info=True)
+                return
+            pol['until_i'] = sess.i + n
+            pol['migrating'] = False
         asyncio.ensure_future(go())
 
     def _polish_tick(self, sess):
@@ -557,14 +575,27 @@ class PooledTier:
                 or sess.i < pol['until_i']):
             return
         sess.polish = None
+        # The session's binding NOW: a migration racing in before our
+        # engine_op acquires the tick lock re-binds the session (and may
+        # hand this lane to someone else) — the pause must then not fire.
+        expected = (sess.bucket_hw, sess.precision, sess.lane)
+
+        def pause_if_unmoved():
+            if (sess.bucket_hw, sess.precision, sess.lane) != expected:
+                return False
+            self.engine_of(sess).set_running(sess.lane, False)
+            return True
 
         async def go():
             try:
-                await self.engine_op(self.engine_of(sess).set_running,
-                                     sess.lane, False)
+                paused = await self.engine_op(pause_if_unmoved)
             except Exception:
                 logger.warning('pooled polish pause for %s failed',
                                sess.session_id, exc_info=True)
+                return
+            if not paused:
+                logger.info('pooled polish pause for %s skipped: session '
+                            'migrated meanwhile', sess.session_id)
                 return
             sess.running = False
             sess.push_state()

@@ -280,9 +280,20 @@ def main(argv=None):
                (out_dir / ('%s_stylized.png'
                            % frames[start_idx].stem)).exists()):
             start_idx += 1
-        if start_idx:
+        prev = None
+        while start_idx:
+            # The interruption --resume recovers from can leave the LAST
+            # file half-written: walk back until one actually loads.
             last = out_dir / ('%s_stylized.png' % frames[start_idx - 1].stem)
-            prev = np.uint8(Image.open(last).convert('RGB'))
+            try:
+                with Image.open(last) as img:
+                    prev = np.uint8(img.convert('RGB'))
+                break
+            except Exception:
+                logger.warning('resume: %s is corrupt; redoing it',
+                               last.name)
+                start_idx -= 1
+        if start_idx:
             size_wh = (prev.shape[1], prev.shape[0])
             stylizer.seed_from(prev)
             logger.info('resume: %d frame(s) already stylized; chain '
@@ -326,11 +337,18 @@ def main(argv=None):
         drain(pending)
     dt = time.perf_counter() - t0
     n_done = len(frames) - start_idx
-    first_wall = t_first if t_first is not None else 0.0
-    steady = (dt - first_wall) / max(n_done - (1 if t_first else 0), 1)
-    logger.info('stylized %d frames in %.1fs (first frame %.1fs, '
-                '%.2f s/frame steady-state)', n_done, dt,
-                t_first or dt, steady)
+    if t_first is not None:
+        steady = (dt - t_first) / max(n_done - 1, 1)
+        logger.info('stylized %d frames in %.1fs (first frame %.1fs, '
+                    '%.2f s/frame steady-state)', n_done, dt, t_first,
+                    steady)
+    else:
+        # Resumed run: no frame-1 wall to subtract, and the first resumed
+        # dispatch compiled the temporal programs inline — report the
+        # plain average, labeled as such.
+        logger.info('stylized %d resumed frames in %.1fs (%.2f s/frame '
+                    'incl. the resume compile)', n_done, dt,
+                    dt / max(n_done, 1))
     return 0
 
 
