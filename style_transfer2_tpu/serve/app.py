@@ -24,6 +24,7 @@ from pathlib import Path
 from aiohttp import web
 import numpy as np
 from PIL import Image
+import yaml
 
 from .. import utils
 from ..models.weights import resolve_params
@@ -362,7 +363,9 @@ class SingleSessionTier(sn.EngineActions):
                     or tuple(sess.input_arr.shape[:2]) != lad['await_grid']):
                 return   # still draining old-grid in-flight iterates
             lad['await_grid'] = None
-            lad['next_at'] = sess.i + lad['per_rung']
+            rem = lad.pop('budget_remaining', None)
+            lad['next_at'] = sess.i + (lad['per_rung'] if rem is None
+                                       else rem)
             return
         if sess.i < lad['next_at']:
             return
@@ -638,16 +641,140 @@ class SingleSessionTier(sn.EngineActions):
 
     # -- session persistence -----------------------------------------------------
 
+    def _phase_state(self):
+        """The tier-level schedule state that should survive a process
+        restart, as a YAML-able dict: the active ladder (with the current
+        rung's REMAINING budget), the active polish tail (ditto), and the
+        precision override — which outlives the polish dict, because a
+        finished tail leaves the session paused at the raised precision."""
+        state = {}
+        lad = self.ladder
+        if lad is not None:
+            state['ladder'] = {
+                'rungs': [[int(h), int(w)] for h, w in lad['rungs']],
+                'idx': int(lad['idx']),
+                'per_rung': int(lad['per_rung']),
+                'await_grid': ([int(x) for x in lad['await_grid']]
+                               if lad.get('await_grid') else None),
+                'remaining': (max(0, int(lad['next_at']) - self.sess.i)
+                              if lad.get('next_at') is not None else None),
+            }
+        pol = self.polish
+        if pol is not None:
+            state['polish'] = {
+                'remaining': (max(1, int(pol['until_i']) - self.sess.i)
+                              if pol.get('until_i') is not None
+                              else int(pol['n'])),
+                # Whether the tail should self-resume on restore: a crash
+                # inside the respawn window persists running=False (the
+                # respawn transiently clears it) even though the tail was
+                # about to auto-run.
+                'auto': bool(pol.get('await_ready') or self.sess.running),
+            }
+        if self._precision_override is not None:
+            state['precision_override'] = self._precision_override
+        return state
+
+    def _restore_phase(self, extras):
+        """Re-establishes persisted schedule state (see _phase_state) from
+        a snapshot's extra entries. Runs BEFORE _spawn_driver so a restored
+        precision override redirects the boot spawn; grid/prewarm re-issue
+        happens later in _resume_phase (the driver must exist first). Any
+        malformed phase blob restores nothing — the session itself already
+        loaded fine, and a lost schedule is the old (pre-persistence)
+        behavior, not an error."""
+        blob = extras.get('app_phase_yaml')
+        if blob is None:
+            return {}
+        try:
+            phase = yaml.safe_load(str(blob)) or {}
+            override = phase.get('precision_override')
+            if override is not None:
+                if override not in sn.PRECISION_RANK:
+                    raise ValueError(f'unknown precision {override!r}')
+                self._precision_override = override
+            pol = phase.get('polish')
+            if pol is not None and override is not None:
+                remaining = max(1, int(pol['remaining']))
+                if pol.get('auto', self.sess.running):
+                    # Tail was iterating (or mid-respawn): re-anchor and
+                    # resume via _polish_on_ready when the polish driver
+                    # comes up.
+                    self.polish = {'n': remaining, 'await_ready': True,
+                                   'until_i': None}
+                else:
+                    # User-paused mid-tail: keep it dormant; a later start
+                    # finishes the remaining budget and self-pauses.
+                    self.polish = {'n': remaining, 'await_ready': False,
+                                   'until_i': self.sess.i + remaining}
+            lad = phase.get('ladder')
+            if lad is not None and self.polish is None:
+                rungs = [tuple(int(x) for x in hw) for hw in lad['rungs']]
+                idx = int(lad['idx'])
+                if not 0 <= idx < len(rungs):
+                    raise ValueError(f'ladder idx {idx} out of range')
+                restored = {'rungs': rungs, 'idx': idx,
+                            'per_rung': max(1, int(lad['per_rung'])),
+                            'next_at': None,
+                            'await_grid': tuple(rungs[idx])}
+                if lad.get('remaining') is not None:
+                    # Mid-rung snapshot: the await_grid clear (the restored
+                    # iterate is already on this rung's grid) re-anchors to
+                    # the REMAINING budget, not a fresh per_rung.
+                    restored['budget_remaining'] = max(
+                        0, int(lad['remaining']))
+                self.ladder = restored
+            if self.polish is not None or self.ladder is not None \
+                    or override is not None:
+                logger.info(
+                    'restored schedule state: ladder=%s polish=%s '
+                    'precision_override=%s', self.ladder, self.polish,
+                    self._precision_override)
+            return phase
+        except Exception:
+            logger.warning('unreadable phase state in snapshot; schedule '
+                           'not restored', exc_info=True)
+            self.ladder = None
+            self.polish = None
+            self._precision_override = None
+            return {}
+
+    async def _resume_phase(self):
+        """Post-boot schedule re-issue (driver up, engine state fed): a
+        mid-advance ladder re-sends its pending grid change, and the
+        restored rung's successor (or the polish programs, on the final
+        rung) prewarms like a live advance would have."""
+        lad = self.ladder
+        if lad is None:
+            return
+        hw = lad.get('await_grid')
+        if (hw and self.sess.input_arr is not None
+                and tuple(self.sess.input_arr.shape[:2]) != tuple(hw)):
+            # The snapshot caught an advance in flight: the persisted
+            # iterate is still on the previous rung's grid.
+            await self._change_grid(tuple(hw))
+        if lad['idx'] + 1 < len(lad['rungs']):
+            await self._to_driver(m.Prewarm([lad['rungs'][lad['idx'] + 1]]))
+        else:
+            self._start_polish_prewarm(tuple(lad['rungs'][lad['idx']]))
+
     def _maybe_persist(self):
         """Snapshots the session if anything observable changed since the
-        last write (persist.signature covers every saved field)."""
+        last write (persist.signature covers every saved field; the phase
+        state is folded into the signature so schedule transitions that
+        don't move a session field — e.g. polish begin during a respawn —
+        still trigger a write)."""
         if not self.persist_path:
             return
-        sig = persist.signature(self.sess)
+        phase = self._phase_state()
+        phase_yaml = yaml.safe_dump(phase) if phase else ''
+        sig = (persist.signature(self.sess), phase_yaml)
         if sig == self._persist_sig:
             return
+        extra = ({'app_phase_yaml': np.str_(phase_yaml)}
+                 if phase_yaml else None)
         try:
-            persist.save_session(self.persist_path, self.sess)
+            persist.save_session(self.persist_path, self.sess, extra=extra)
             self._persist_sig = sig
         except OSError as err:
             logger.warning('session persist failed: %s', err)
@@ -747,11 +874,16 @@ class SingleSessionTier(sn.EngineActions):
                         'snap to multiples of %d',
                         self.placement.n_shards, self.placement.n_shards)
         self.sess.load_defaults(self.config, ROOT_DIR)
+        extras = {}
         restored = (self.persist_path
-                    and persist.load_session(self.persist_path, self.sess))
+                    and persist.load_session(self.persist_path, self.sess,
+                                             extras))
         resume = restored and self.sess.running
         if restored:
-            self._persist_sig = persist.signature(self.sess)
+            self._restore_phase(extras)
+            phase = self._phase_state()
+            self._persist_sig = (persist.signature(self.sess),
+                                 yaml.safe_dump(phase) if phase else '')
         self._spawn_driver()   # forces running=False until resume below
         if restored:
             # A fresh engine boots with the default optimizer; the restored
@@ -762,6 +894,8 @@ class SingleSessionTier(sn.EngineActions):
                 self.sess.params['optimizer'],
                 self.sess.params.get('optimizer_step_size')))
         await self.feed_engine_state()
+        if restored:
+            await self._resume_phase()
         if resume:
             # The process died (or was redeployed) mid-optimization:
             # resume where the snapshot left off. Costs only optimizer

@@ -82,10 +82,17 @@ def save_session(path, sess, extra=None):
     logger.debug('session persisted to %s (iterate %d)', path, sess.i)
 
 
-def load_session(path, sess):
+_KNOWN_KEYS = frozenset(('version', 'i', 'running', 'input_was_reset',
+                         'params_yaml', 'style_size', 'input_arr',
+                         'content_image', 'style_image'))
+
+
+def load_session(path, sess, extra=None):
     """Restores a snapshot into `sess` (which should already hold the
     tier's defaults). Returns True on success; on any failure the session
-    is left as it was and False is returned."""
+    is left as it was and False is returned. If `extra` is a dict, any
+    tier-specific entries the snapshot carries beyond the session fields
+    (the save_session `extra` channel) are copied into it."""
     try:
         with np.load(str(path), allow_pickle=False) as data:
             version = int(data['version'])
@@ -108,6 +115,11 @@ def load_session(path, sess):
                 key = slot + '_image'
                 if key in data:
                     images[slot] = Image.fromarray(np.array(data[key]))
+            extras = {}
+            if extra is not None:
+                for key in data.files:
+                    if key not in _KNOWN_KEYS:
+                        extras[key] = np.array(data[key])
     except FileNotFoundError:
         return False
     except Exception as err:
@@ -118,6 +130,8 @@ def load_session(path, sess):
         setattr(sess, name, value)
     for slot, image in images.items():
         sess.set_slot_image(slot, image)
+    if extra is not None:
+        extra.update(extras)
     logger.info('session restored from %s (iterate %d, running=%s)',
                 path, sess.i, sess.running)
     return True

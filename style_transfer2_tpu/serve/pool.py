@@ -691,6 +691,71 @@ class PooledTier:
             except OSError:
                 pass
 
+    def _phase_state(self, sess):
+        """The session's schedule state (pooled ladder / polish tail) as a
+        YAML-able dict for the snapshot. An advance or migration caught in
+        flight is recorded as NOT yet taken (the persisted bucket is the
+        pre-move one), with a zero/full budget so the restore re-attempts
+        the move on its first tick."""
+        state = {}
+        lad = getattr(sess, 'ladder', None)
+        if lad is not None:
+            idx, remaining = lad['idx'], max(0, lad['next_at'] - sess.i)
+            if lad.get('migrating'):
+                idx, remaining = max(0, idx - 1), 0
+            state['ladder'] = {'rungs': [int(s) for s in lad['rungs']],
+                               'idx': int(idx),
+                               'per_rung': int(lad['per_rung']),
+                               'remaining': int(remaining)}
+        pol = getattr(sess, 'polish', None)
+        if pol is not None:
+            if pol.get('migrating') or pol.get('until_i') is None:
+                state['polish'] = {'pending': True}
+            else:
+                state['polish'] = {
+                    'pending': False,
+                    'remaining': max(1, int(pol['until_i']) - sess.i)}
+        return state
+
+    def _restore_phase(self, sess, phase_yaml):
+        """Re-establishes a restored session's schedule state. The session
+        is already bound to its persisted (grid, precision) bucket, so an
+        active polish tail just needs its budget re-anchored; a tail whose
+        migration never landed (pending, or precision inconsistently still
+        the main one) re-begins from scratch. A malformed blob restores no
+        schedule — the pre-persistence behavior, not an error."""
+        if not phase_yaml:
+            return
+        try:
+            phase = yaml.safe_load(phase_yaml) or {}
+            pol = phase.get('polish')
+            if pol is not None:
+                if (not pol.get('pending')
+                        and sess.precision != self.main_precision()):
+                    remaining = max(1, int(pol['remaining']))
+                    sess.polish = {'n': remaining,
+                                   'until_i': sess.i + remaining,
+                                   'migrating': False}
+                else:
+                    self._maybe_begin_polish(sess)
+                return   # polish only begins after the ladder: exclusive
+            lad = phase.get('ladder')
+            if lad is not None:
+                rungs = [int(s) for s in lad['rungs']]
+                idx = int(lad['idx'])
+                if not 0 <= idx < len(rungs):
+                    raise ValueError(f'ladder idx {idx} out of range')
+                sess.ladder = {'rungs': rungs, 'idx': idx,
+                               'per_rung': max(1, int(lad['per_rung'])),
+                               'next_at':
+                                   sess.i + max(0, int(lad['remaining'])),
+                               'migrating': False}
+        except Exception:
+            logger.warning('session %s: unreadable phase state; schedule '
+                           'not restored', sess.session_id, exc_info=True)
+            sess.ladder = None
+            sess.polish = None
+
     def _persist_all(self):
         """Snapshots every changed session (host state only — no device
         work, so this is safe even while wedged)."""
@@ -702,14 +767,18 @@ class PooledTier:
             logger.warning('pool persist dir unavailable: %s', err)
             return
         for sid, sess in list(self.sessions.items()):
-            sig = persist.signature(sess)
+            phase = self._phase_state(sess)
+            phase_yaml = yaml.safe_dump(phase) if phase else ''
+            sig = (persist.signature(sess), sess.precision, phase_yaml)
             if self._persist_sigs.get(sid) == sig:
                 continue
+            extra = {'pool_bucket_hw': np.asarray(sess.bucket_hw, np.int64),
+                     'pool_precision': np.str_(sess.precision)}
+            if phase_yaml:
+                extra['pool_phase_yaml'] = np.str_(phase_yaml)
             try:
-                persist.save_session(
-                    self._persist_file(sid), sess,
-                    extra={'pool_bucket_hw':
-                           np.asarray(sess.bucket_hw, np.int64)})
+                persist.save_session(self._persist_file(sid), sess,
+                                     extra=extra)
                 self._persist_sigs[sid] = sig
             except OSError as err:
                 logger.warning('session %s persist failed: %s', sid, err)
@@ -734,23 +803,30 @@ class PooledTier:
             try:
                 with np.load(str(path), allow_pickle=False) as data:
                     hw = tuple(int(x) for x in data['pool_bucket_hw'])
+                    precision = (str(data['pool_precision'])
+                                 if 'pool_precision' in data else '')
+                    phase_yaml = (str(data['pool_phase_yaml'])
+                                  if 'pool_phase_yaml' in data else '')
             except Exception as err:
                 logger.warning('%s: unreadable pool snapshot (%r)',
                                path, err)
                 continue
+            if precision not in sn.PRECISION_RANK:
+                # Pre-precision snapshots (or junk): the main bucket.
+                precision = self.main_precision()
             size = max(hw)
             try:
                 self.check_size_allowed(size)
             except sn.SizeRejected as err:
                 logger.warning('skipping session %s: %s', sid, err)
                 continue
-            engine = self.bucket_for(size)
+            engine = self.bucket_for(size, precision=precision)
             lane = engine.free_lane()
             if lane is None:
                 logger.warning('skipping session %s: bucket %s is full',
                                sid, engine.hw)
                 continue
-            sess = PoolSession(sid, lane, engine.hw, self.main_precision())
+            sess = PoolSession(sid, lane, engine.hw, precision)
             if not persist.load_session(path, sess):
                 continue
             if (sess.input_arr is None
@@ -784,9 +860,15 @@ class PooledTier:
                 logger.warning('session %s restore failed', sid,
                                exc_info=True)
                 continue
-            self._persist_sigs[sid] = persist.signature(sess)
+            self._restore_phase(sess, phase_yaml)
+            phase = self._phase_state(sess)
+            self._persist_sigs[sid] = (persist.signature(sess),
+                                       sess.precision,
+                                       yaml.safe_dump(phase)
+                                       if phase else '')
             logger.info('restored session %s (lane %d, iterate %d, '
-                        'running=%s)', sid, lane, sess.i, sess.running)
+                        'running=%s, precision=%s)', sid, lane, sess.i,
+                        sess.running, sess.precision)
         if self.sessions:
             self.wake.set()
 
