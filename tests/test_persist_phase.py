@@ -192,6 +192,126 @@ def test_app_restart_resumes_polish(tmp_path):
     loop.close()
 
 
+def test_app_restart_survives_malformed_phase_blob(tmp_path):
+    """A corrupt/garbage phase entry restores the SESSION but no schedule
+    — persistence must never take the service down (persist.py contract),
+    and a lost schedule is just the pre-persistence behavior."""
+    import yaml as _yaml
+    from style_transfer2_tpu.serve import persist
+    from style_transfer2_tpu.serve.app import init
+    from test_persist import _populated_session
+
+    config = _app_config(tmp_path, serve_ladder=4, ladder_min_scale=24)
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    # Hand-craft a snapshot whose phase blob is structurally broken
+    # (unknown precision, ladder idx out of range) on top of a valid
+    # session.
+    sess = _populated_session()
+    sess.i = 7
+    sess.running = False
+    bad = _yaml.safe_dump({'ladder': {'rungs': [[24, 32]], 'idx': 99,
+                                      'per_rung': 4, 'remaining': 2,
+                                      'await_grid': None},
+                           'precision_override': 'not-a-precision'})
+    persist.save_session(tmp_path / 'session.npz', sess,
+                         extra={'app_phase_yaml': np.str_(bad)})
+
+    async def boot():
+        app = init(config=config)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        tier = app['tier']
+        # Session restored; schedule dropped; boot healthy.
+        assert tier.sess.i == 7
+        assert tier.ladder is None and tier.polish is None
+        assert tier._precision_override is None
+        ws = await client.ws_connect('/websocket')
+        await _recv_until(ws, 'workerReady')
+        await ws.close()
+        await client.close()
+
+    loop.run_until_complete(asyncio.wait_for(boot(), 300))
+    loop.close()
+
+
+def test_pool_restart_resumes_ladder(tmp_path):
+    """A pooled redeploy mid-ladder: the restored session still holds its
+    schedule position and remaining rung budget, and resumes migrating up
+    to the target bucket."""
+    from style_transfer2_tpu.serve.pool import init
+
+    config = _pool_config()
+    config['initial_size'] = '48'
+    config['pool_sizes'] = '24 32 48'
+    config['serve_ladder'] = '6'
+    config['pool_persist_dir'] = str(tmp_path / 'pool')
+    config['persist_interval'] = '3600'
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    async def first_life():
+        app = init(config=config)
+        client = TestClient(TestServer(app),
+                            cookie_jar=aiohttp.DummyCookieJar())
+        await client.start_server()
+        tier = app['tier']
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        sess = next(iter(tier.sessions.values()))
+        await a.send({'type': 'start'})
+        # Wait for the first rung advance (bucket 24 -> 32), then pause
+        # mid-ladder (a pause is not a schedule-cancelling action).
+        for _ in range(900):
+            lad = sess.ladder
+            if (lad is not None and lad['idx'] >= 1
+                    and not lad.get('migrating')):
+                break
+            await asyncio.sleep(0.1)
+        assert sess.ladder is not None and sess.ladder['idx'] >= 1
+        await a.send({'type': 'pause'})
+        for _ in range(100):
+            if not sess.running:
+                break
+            await asyncio.sleep(0.1)
+        await a.ws.close()
+        state = (a.cookie, sess.ladder['rungs'], sess.i)
+        await client.close()
+        return state
+
+    cookie, rungs, i_before = loop.run_until_complete(
+        asyncio.wait_for(first_life(), 560))
+
+    async def second_life():
+        app = init(config=config)
+        client = TestClient(TestServer(app),
+                            cookie_jar=aiohttp.DummyCookieJar())
+        await client.start_server()
+        tier = app['tier']
+        sess = tier.sessions[cookie]
+        assert sess.ladder is not None, 'pooled ladder not restored'
+        assert sess.ladder['rungs'] == rungs
+        assert sess.i == i_before and not sess.running
+        a = WSSession(client)
+        a.cookie = cookie
+        a.ws = await client.ws_connect('/websocket', headers=a._headers())
+        await a.send({'type': 'start'})
+        # The climb resumes and ends in the target bucket.
+        for _ in range(1500):
+            if sess.ladder is None and max(sess.bucket_hw) == rungs[-1]:
+                break
+            await asyncio.sleep(0.2)
+        assert sess.ladder is None
+        assert max(sess.bucket_hw) == rungs[-1]
+        assert sess.i > i_before
+        await a.ws.close()
+        await client.close()
+
+    loop.run_until_complete(asyncio.wait_for(second_life(), 560))
+    loop.close()
+
+
 def test_pool_restart_resumes_polish_tail(tmp_path):
     """A pooled redeploy mid-polish: the session restores into the
     (grid, polish-precision) bucket with the tail's remaining budget,
