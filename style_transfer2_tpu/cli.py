@@ -468,6 +468,18 @@ def main(argv=None):
         stp.set_content(np.uint8(content_pil.resize(
             (hw_final[1], hw_final[0]), Image.LANCZOS)))
         stp.set_input(st.snapshot())
+        # Inherit the main run's first-eval gradient-RMS norms: the polish
+        # is a CONTINUATION of the same optimization at higher precision,
+        # so it must optimize the same normalized objective. Without this
+        # the polish engine's first evaluation re-anchors the norms at the
+        # (converged) main-run iterate — small gradients there inflate the
+        # per-layer weights and the tail optimizes a different objective
+        # than the one the main run minimized (reference semantics: norms
+        # persist across everything but reset, worker.py:137,172-175).
+        stp.norm_vals.update(
+            {k: np.float32(v) for k, v in st.norm_vals.items()})
+        stp.norm_set.update(
+            {k: np.bool_(bool(v)) for k, v in st.norm_set.items()})
         assert stp.start(), 'polish engine failed to start'
         from collections import deque
         depth = max(1, args.pipeline_depth)

@@ -128,7 +128,7 @@ class BatchedStyleTransfer:
 
     def add_job(self, content, style, input_image, weights=None,
                 scalar_params=None, step_size=None, lane=None,
-                lane_state=None, t=0):
+                lane_state=None, t=0, norms=None):
         """Adds a job; returns its lane id. Images are HxWx3 RGB arrays at
         this bucket's resolution.
 
@@ -137,7 +137,15 @@ class BatchedStyleTransfer:
         another bucket, the batched analog of the reference's
         optimizers.py:29-40 resample); input_image is then ignored in
         favor of the state's iterate. t carries the lane's iterate counter
-        across a migration."""
+        across a migration.
+
+        norms, if given, is a (vals, set) pair from lane_norms(): the
+        session's first-eval gradient-RMS norm state, carried across a
+        requeue/migration so the lane keeps optimizing the SAME normalized
+        objective (reference semantics: norms persist across weight/size
+        changes, cleared only by reset — worker.py:137,172-175). Omitted,
+        the lane re-anchors at its first evaluation (correct for resets
+        and fresh jobs)."""
         if lane is None:
             lane = self.free_lane()
         if lane is None:
@@ -177,6 +185,14 @@ class BatchedStyleTransfer:
             'norms_vals': {k: jnp.float32(0.0) for k in self.spec.norm_keys},
             'norms_set': {k: jnp.bool_(False) for k in self.spec.norm_keys},
         }
+        if norms is not None:
+            nv, ns = norms
+            lane_inputs['norms_vals'] = {
+                k: jnp.float32(nv[k]) if k in nv else jnp.float32(0.0)
+                for k in self.spec.norm_keys}
+            lane_inputs['norms_set'] = {
+                k: jnp.bool_(ns[k]) if k in ns else jnp.bool_(False)
+                for k in self.spec.norm_keys}
         if lane_state is None:
             mod = OPTIMIZERS[self.optimizer_name]
             lane_state = (mod.init(input_x, self.n_corr,
@@ -201,6 +217,30 @@ class BatchedStyleTransfer:
         """Extracts one lane's optimizer pytree (for warm-start migration
         to another resolution bucket)."""
         return jax.tree_util.tree_map(lambda buf: buf[lane], self.states)
+
+    def lane_norms(self, lane):
+        """One lane's first-eval norm state as a (vals, set) dict pair —
+        precision- and resolution-independent f32 scalars, the add_job
+        norms= payload for carrying the session's normalized objective
+        across a requeue or bucket migration. Values stay on device (the
+        carry never round-trips the host)."""
+        vals = {k: self.inputs['norms_vals'][k][lane]
+                for k in self.spec.norm_keys}
+        set_ = {k: self.inputs['norms_set'][k][lane]
+                for k in self.spec.norm_keys}
+        return vals, set_
+
+    def norms_host(self):
+        """EVERY lane's norm state in two host transfers:
+        (keys, (n_keys, max_lanes) f32 vals, (n_keys, max_lanes) bool set).
+        Per-key fetches would cost a tunnel round trip each (~70 ms x 19
+        keys); the persist loop uses this to capture all lanes at once."""
+        keys = list(self.spec.norm_keys)
+        vals = np.asarray(jnp.stack(
+            [self.inputs['norms_vals'][k] for k in keys]))
+        set_ = np.asarray(jnp.stack(
+            [self.inputs['norms_set'][k] for k in keys]))
+        return keys, vals, set_
 
     def remove_job(self, lane):
         self.active[lane] = False

@@ -236,6 +236,8 @@ class SingleSessionTier(sn.EngineActions):
                               if b.image is not None), None)
                 self.sess.note_iterates(batch[-1].i, image,
                                         [b.trace for b in batch])
+                if self.sess.norms is None:
+                    self._capture_norms()
                 await self._ladder_tick()
                 await self._polish_tick()
             elif isinstance(msg, m.WorkerReady):
@@ -256,6 +258,24 @@ class SingleSessionTier(sn.EngineActions):
 
     async def _to_driver(self, msg):
         await self.driver.in_queue.put(msg)
+
+    def _capture_norms(self):
+        """Pulls the live engine's first-eval gradient-RMS norm state up
+        into the Session as host floats — one tiny device transfer, once
+        per reset epoch (norms never change between resets), so respawns
+        and restarts can re-seed the SAME normalized objective instead of
+        re-anchoring at the live iterate. In-process read of the driver's
+        engine; any failure just leaves the next respawn to re-anchor
+        (the pre-round-4 behavior)."""
+        drv = self.driver
+        try:
+            if drv is None or not drv.transfer.norm_set:
+                return
+            self.sess.norms = (
+                {k: float(v) for k, v in drv.transfer.norm_vals.items()},
+                {k: bool(v) for k, v in drv.transfer.norm_set.items()})
+        except Exception:
+            logger.debug('norm capture failed', exc_info=True)
 
     async def feed_engine_state(self):
         """Sends the driver a complete state snapshot derived from the
@@ -284,10 +304,13 @@ class SingleSessionTier(sn.EngineActions):
             sess.input_arr = utils.resample_hwc(sess.input_arr, grid)
             sess.input_was_reset = False
 
+        if reset_state:
+            sess.norms = None
         await self._to_driver(m.SetImages(None, sess.input_arr,
                                           np.uint8(content), np.uint8(style),
                                           reset_state,
-                                          t0=0 if reset_state else sess.i))
+                                          t0=0 if reset_state else sess.i,
+                                          norms=sess.norms))
         await self._to_driver(m.SetWeights(*sess.params['weights']))
 
     # -- multi-scale serving ladder ---------------------------------------------
@@ -576,6 +599,7 @@ class SingleSessionTier(sn.EngineActions):
         image = sn.fresh_random_input(sess.input_arr.shape[:2])
         sess.input_arr = image
         sess.input_was_reset = True
+        sess.norms = None   # the reset re-anchors the norms
         await self._to_driver(m.SetImages(input_image=image,
                                           reset_state=True))
         # A reset restarts the coarse-to-fine schedule from rung 0 toward
@@ -611,6 +635,11 @@ class SingleSessionTier(sn.EngineActions):
         return size
 
     async def set_optimizer(self, name, step_size):
+        if name != self.sess.params.get('optimizer'):
+            # An optimizer TYPE change resets the engine (reference
+            # worker.py:387-391), clearing its norms — drop ours too so a
+            # later respawn doesn't resurrect the pre-change anchoring.
+            self.sess.norms = None
         await self._to_driver(m.SetOptimizer(name, step_size))
 
     async def set_weights(self, weights, scalars):

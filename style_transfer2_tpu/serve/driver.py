@@ -18,6 +18,8 @@ import concurrent.futures
 import logging
 import time
 
+import numpy as np
+
 from ..engine.transfer import StyleTransfer
 from . import messages as m
 
@@ -521,6 +523,18 @@ class Driver:
                 # first set_input resets t to 0; the user's counter should
                 # survive an engine respawn just like the iterate does).
                 t.t = int(msg.t0)
+            if msg.norms and not msg.reset_state:
+                # Seed the session's first-eval gradient-RMS norms so a
+                # respawned engine continues the SAME normalized objective
+                # instead of re-anchoring at the live iterate (norms are
+                # write-once per reset epoch, so the app's capture is
+                # always current). np scalars, not python floats: a weak-
+                # typed f32 would miss the jit cache.
+                nv, ns = msg.norms
+                t.norm_vals.update(
+                    {k: np.float32(v) for k, v in nv.items()})
+                t.norm_set.update(
+                    {k: np.bool_(bool(v)) for k, v in ns.items()})
 
         elif isinstance(msg, m.SetOptimizer):
             # The worker resets when the optimizer INSTANCE doesn't match the

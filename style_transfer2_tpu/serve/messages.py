@@ -106,6 +106,12 @@ class SetImages(Message):
     # instead of restarting at 1 (the pooled tier's add_job(t=...) analog;
     # reference restarts cost only optimizer momentum, app.py:336-344).
     t0: int = 0
+    # Optional (vals, set) dict pair of host floats/bools: the session's
+    # first-eval gradient-RMS norm state, re-seeded into a respawned
+    # engine so it keeps optimizing the same normalized objective
+    # (reference semantics: norms persist until reset, worker.py:137).
+    # Ignored when reset_state is set.
+    norms: Any = None
 
 
 @dataclass(repr=False)

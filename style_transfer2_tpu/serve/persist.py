@@ -46,6 +46,7 @@ def signature(sess):
         arr_sig = (arr.shape, str(arr.dtype), float(np.sum(arr, dtype=np.float64)))
     return (sess.i, sess.running, yaml.safe_dump(sess.params),
             str(sess.style_size), sess.input_was_reset, arr_sig,
+            sess.norms is not None,   # write-once per reset epoch
             tuple(id(getattr(sess, slot + '_image')) for slot in _IMAGE_SLOTS))
 
 
@@ -61,6 +62,11 @@ def snapshot(sess):
                                   else str(sess.style_size))}
     if sess.input_arr is not None:
         data['input_arr'] = np.asarray(sess.input_arr)
+    if sess.norms is not None:
+        # First-eval norm state (host floats/bools): a restored session
+        # keeps optimizing the objective its norms were anchored at.
+        data['norms_yaml'] = np.str_(yaml.safe_dump(
+            {'vals': sess.norms[0], 'set': sess.norms[1]}))
     for slot in _IMAGE_SLOTS:
         image = getattr(sess, slot + '_image')
         if image is not None:
@@ -84,7 +90,7 @@ def save_session(path, sess, extra=None):
 
 _KNOWN_KEYS = frozenset(('version', 'i', 'running', 'input_was_reset',
                          'params_yaml', 'style_size', 'input_arr',
-                         'content_image', 'style_image'))
+                         'content_image', 'style_image', 'norms_yaml'))
 
 
 def load_session(path, sess, extra=None):
@@ -110,6 +116,12 @@ def load_session(path, sess, extra=None):
             fields['style_size'] = style_size if style_size else None
             fields['input_arr'] = (np.array(data['input_arr'])
                                    if 'input_arr' in data else None)
+            fields['norms'] = None
+            if 'norms_yaml' in data:
+                doc = yaml.safe_load(str(data['norms_yaml']))
+                fields['norms'] = (
+                    {str(k): float(v) for k, v in doc['vals'].items()},
+                    {str(k): bool(v) for k, v in doc['set'].items()})
             images = {}
             for slot in _IMAGE_SLOTS:
                 key = slot + '_image'

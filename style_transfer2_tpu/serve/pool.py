@@ -852,7 +852,7 @@ class PooledTier:
                                scalar_params=sess.params['weights'][1],
                                step_size=sess.params.get(
                                    'optimizer_step_size'),
-                               t=sess.i)
+                               t=sess.i, norms=sess.norms)
                 engine.set_running(lane, sess.running)
             except Exception:
                 engine.active[lane] = False
@@ -897,15 +897,22 @@ class PooledTier:
         if style is None:
             style = self._fit(sess.style_image, hw)
         lane_state = None
+        norms = None
         t = 0
         if keep_progress and not reset_input and input_arr is None:
             mod = OPTIMIZERS[engine.optimizer_name]
             lane_state = mod.objective_changed(engine.lane_state(sess.lane))
+            # Keep the first-eval norms too: a style/content upload must
+            # not re-anchor the normalized objective (the single-session
+            # engine persists norm state across SetImages; only a reset
+            # clears it).
+            norms = engine.lane_norms(sess.lane)
             t = sess.i
         elif input_arr is None:
             input_arr = sn.fresh_random_input(hw)
             sess.input_arr = input_arr
             sess.input_was_reset = True
+            sess.norms = None   # the reset re-anchors the norms
         weights, scalars = sess.params['weights']
         # No remove_job first: add_job(lane=...) overwrites the lane
         # completely, and transiently marking it inactive opens a window
@@ -914,7 +921,8 @@ class PooledTier:
         engine.add_job(content, style, input_arr, weights=weights,
                        scalar_params=scalars,
                        step_size=sess.params.get('optimizer_step_size'),
-                       lane=sess.lane, lane_state=lane_state, t=t)
+                       lane=sess.lane, lane_state=lane_state, t=t,
+                       norms=norms)
         sess.i = t
         engine.set_running(sess.lane, was_running)
 
@@ -942,6 +950,7 @@ class PooledTier:
         style = self._fit(sess.style_image, new_hw)
 
         lane_state = None
+        norms = None
         t = 0
         if sess.i > 1:
             if precision == sess.precision:
@@ -949,17 +958,26 @@ class PooledTier:
                 lane_state = mod.resample(old_engine.lane_state(sess.lane),
                                           new_hw)
                 lane_state = mod.objective_changed(lane_state)
+            # Norms carry across EVERY warm move — size changes (ladder
+            # rung climbs) and cross-precision moves (the polish tail)
+            # alike: they are f32 scalars independent of grid and compute
+            # dtype, and the session must keep optimizing the objective
+            # its norms were anchored at (re-anchoring at a converged
+            # iterate inflates the per-layer weights).
+            norms = old_engine.lane_norms(sess.lane)
             t = sess.i
             sess.input_arr = utils.resample_hwc(sess.input_arr, new_hw)
         else:
             sess.input_arr = sn.fresh_random_input(new_hw)
             sess.input_was_reset = True
+            sess.norms = None   # cold re-seed re-anchors the norms
 
         # A failure above or here propagates to change_size, which
         # un-claims new_lane; the session stays intact on its old lane.
         new_engine.add_job(content, style, sess.input_arr, weights=weights,
                            scalar_params=scalars, step_size=step_size,
-                           lane=new_lane, lane_state=lane_state, t=t)
+                           lane=new_lane, lane_state=lane_state, t=t,
+                           norms=norms)
         # Only after the new lane is fully populated: free the old one.
         old_engine.remove_job(sess.lane)
         new_engine.set_running(new_lane, was_running)
@@ -1039,9 +1057,39 @@ class PooledTier:
                             sess.note_iterates(engine.t[lane], image, traces)
                             self._ladder_tick(sess)
                             self._polish_tick(sess)
+                        missing = [
+                            lane for lane in lane_traces
+                            if (s := by_key.get((id(engine), lane)))
+                            is not None and s.norms is None]
+                        if missing:
+                            await self._capture_norms(engine, by_key)
                 await asyncio.sleep(0)
         except DeviceTimeoutError:
             logger.critical('drive loop stopped by the device watchdog')
+
+    async def _capture_norms(self, engine, by_key):
+        """Captures first-eval gradient-RMS norms (host floats) for this
+        bucket's sessions that lack them: one bulk device transfer, once
+        per session reset epoch (norms never change between resets), so
+        persistence can snapshot them and a restore re-seeds the SAME
+        normalized objective instead of re-anchoring at the live iterate.
+        Called from the drive fan-out under tick_lock — right after a
+        collect, when the device is demonstrably alive (the persist loop
+        itself stays device-free by contract)."""
+        try:
+            keys, vals, set_ = await self._device_call(engine.norms_host)
+        except Exception:
+            logger.debug('norm capture failed', exc_info=True)
+            return
+        for lane in range(engine.max_lanes):
+            sess = by_key.get((id(engine), lane))
+            if sess is None or sess.norms is not None:
+                continue
+            if not set_[:, lane].any():
+                continue   # lane hasn't evaluated yet
+            sess.norms = (
+                {k: float(vals[i, lane]) for i, k in enumerate(keys)},
+                {k: bool(set_[i, lane]) for i, k in enumerate(keys)})
 
     async def expire_idle(self):
         timeout = self.config.getint('pool_session_timeout', 300)

@@ -108,6 +108,12 @@ class Session:
         self.content_image = None
         self.style_image = None
         self.style_size = None
+        # First-eval gradient-RMS norm state, captured from the live
+        # engine (a (vals, set) dict pair of host floats/bools) so
+        # respawns and restarts re-seed the SAME normalized objective.
+        # Write-once per reset epoch: norms only change when the engine
+        # resets, and every reset path clears this to None.
+        self.norms = None
         self._thumbs = {}
 
     # -- outbound fan-out ---------------------------------------------------

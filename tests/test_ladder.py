@@ -8,6 +8,7 @@ import asyncio
 import configparser
 import json
 
+import numpy as np
 from aiohttp import WSMsgType
 from aiohttp.test_utils import TestClient, TestServer
 
@@ -134,6 +135,16 @@ def test_serving_polish_runs_full_precision_tail():
             assert tier._precision_override == 'float32'
             assert not tier.sess.running        # polish done -> paused
             assert tier.driver.transfer.precision == 'float32'
+            # The polish respawn carried the session's first-eval norms:
+            # the full-precision tail CONTINUED the same normalized
+            # objective instead of re-anchoring it at the bf16 iterate.
+            assert tier.sess.norms is not None
+            vals, set_ = tier.sess.norms
+            eng = tier.driver.transfer
+            assert set(vals) == set(eng.norm_vals)
+            for k, v in vals.items():
+                assert bool(eng.norm_set[k])
+                assert np.isclose(float(eng.norm_vals[k]), v, rtol=1e-6), k
             # A user reset abandons the polished state: back to the main
             # precision (and the coarse-to-fine schedule restarts).
             await ws.send_str(json.dumps({'type': 'reset'}))

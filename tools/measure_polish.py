@@ -73,28 +73,50 @@ def main(argv=None):
             done += k
         return time.perf_counter() - t0
 
-    # Arm 1: f32 parity reference.
+    # Arm 1: f32 parity reference. Kept alive as the EVALUATION ORACLE:
+    # its first-eval norms are anchored at the shared init, so losses
+    # evaluated through it are commensurate across arms (the
+    # bench_bf16_quality convention — a fresh engine would re-anchor its
+    # norms at whatever image it evaluates first, inflating the numbers).
     st32 = bench._make_engine(params, content, style, init, 'float32')
     wall32 = run(st32, args.iters)
     loss32 = st32.traces[-1].data['loss']
+
+    def f32_eval(image):
+        """Loss of `image` under st32's (init-anchored) objective: set_input
+        keeps the norm cache and re-primes, so the next dispatch's first
+        trace row is the f32 loss AT `image`. Reuses arm 1's compiled
+        chunk program (a shorter dispatch would cost a fresh compile)."""
+        n_before = len(st32.traces)
+        st32.set_input(image)
+        st32.run_steps(args.chunk, fetch_image=False)
+        return st32.traces[n_before].data['loss']
 
     # Arm 2: bf16.
     st16 = bench._make_engine(params, content, style, init, 'bfloat16')
     wall16 = run(st16, args.iters)
     img16 = st16.snapshot()
-    del st16
 
-    # Arm 3: polish from the bf16 iterate. The polish engine's prime eval
-    # is the full-precision loss AT the bf16 result (= arm 2 f32-evaluated
-    # when --polish-precision float32).
+    # Arm 3: polish from the bf16 iterate — the CLI --polish flow: fresh
+    # engine at the polish precision, warm-started through the lossless
+    # snapshot -> preprocess round trip, INHERITING the main run's
+    # first-eval norms so the tail continues the same normalized objective
+    # (cli.py polish block).
     stp = bench._make_engine(params, content, style, init.copy(),
                              args.polish_precision)
     stp.set_input(img16)
-    n_before = len(stp.traces)
+    stp.norm_vals.update(
+        {k: np.float32(v) for k, v in st16.norm_vals.items()})
+    stp.norm_set.update(
+        {k: np.bool_(bool(v)) for k, v in st16.norm_set.items()})
+    del st16
     wall_polish = run(stp, args.polish)
-    loss16_eval = stp.traces[n_before].data['loss']
-    loss_polished = stp.traces[-1].data['loss']
+    img_polished = stp.snapshot()
     del stp
+
+    # Commensurate cross-evals, both under arm 1's objective.
+    loss16_eval = f32_eval(img16)
+    loss_polished = f32_eval(img_polished)
 
     gap = loss16_eval - loss32
     recovered = (loss16_eval - loss_polished) / gap if gap > 0 else None
@@ -104,7 +126,7 @@ def main(argv=None):
         'f32_loss': float(loss32), 'f32_wall_s': round(wall32, 2),
         'bf16_wall_s': round(wall16, 2),
         'bf16_loss_f32eval': float(loss16_eval),
-        'polished_loss': float(loss_polished),
+        'polished_loss_f32eval': float(loss_polished),
         'polish_wall_s': round(wall_polish, 2),
         'bf16_delta': round(float(loss16_eval / loss32 - 1), 5),
         'polished_delta': round(float(loss_polished / loss32 - 1), 5),
