@@ -119,9 +119,21 @@ def test_cli_pipelined_matches_sync(tmp_path):
 
 def test_cli_polish_refines_at_full_precision(tmp_path):
     """--polish N runs N full-precision iterations warm-started from the
-    main run's final iterate. The polish trace's FIRST row is the
-    full-precision evaluation of the main (bfloat16) result, so the loss
-    must decrease from there; the main trace is untouched."""
+    main run's final iterate. Two guarantees are asserted:
+
+    1. The polish trace's FIRST row (the f32 evaluation of the bf16
+       result) is commensurate with the main run's final loss — i.e. the
+       polish engine inherited the main run's first-eval gradient-RMS
+       norms and evaluates the SAME normalized objective (reference
+       semantics: norms persist across everything but reset,
+       worker.py:137,172-175). A re-anchoring regression shows up here
+       as an order-of-magnitude mismatch.
+    2. The polish phase reaches a lower loss than the prime somewhere in
+       its trace. Fixed-step L-BFGS has no line search and is NOT
+       monotone on this 32px toy (the main run itself swings 45k->117k
+       ->79k), so the assertion is on the trace minimum over 16
+       iterations, not on the final row.
+    """
     content, style = _write_images(tmp_path)
     out = tmp_path / 'out.png'
     csv = tmp_path / 'trace.csv'
@@ -129,14 +141,16 @@ def test_cli_polish_refines_at_full_precision(tmp_path):
                    '--iterations', '8', '--optimizer', 'lbfgs',
                    '--model-weights', 'random', '--platform', 'cpu',
                    '--steps-per-dispatch', '4', '--precision', 'bfloat16',
-                   '--polish', '4', '--polish-precision', 'float32',
+                   '--polish', '16', '--polish-precision', 'float32',
                    '--trace-csv', str(csv)])
     assert rc == 0
     main = pd.read_csv(csv)
     polish = pd.read_csv(tmp_path / 'trace.polish.csv')
     assert len(main) == 9      # prime + 8 main iterations
-    assert len(polish) == 5    # prime (f32 eval of the bf16 result) + 4
-    assert polish['loss'].iloc[-1] < polish['loss'].iloc[0]
+    assert len(polish) == 17   # prime (f32 eval of the bf16 result) + 16
+    prime, final_main = polish['loss'].iloc[0], main['loss'].iloc[-1]
+    assert abs(prime - final_main) / final_main < 0.05
+    assert polish['loss'].min() < prime
     assert np.asarray(Image.open(out)).shape[-1] == 3
 
 
