@@ -399,6 +399,18 @@ def bench_video(params, style):
                       temporal_weight=1000.0, precision='bfloat16', seed=0)
     v.set_style(style)
 
+    # Compile both frame programs BEFORE the clock starts (round-4 finals
+    # saw first-frame 15.3-79 s: the frame-1 scan compiled inside the
+    # timed loop; the background temporal prewarm raced frame 1). The
+    # phase then measures execution like every other phase — compile is
+    # excluded and the persistent cache keeps reruns honest.
+    hw = frames[0].shape[:2]
+    v.st.prewarm(hw, ks=(v.first_iterations,))
+    v.st.prewarm(hw, ks=(v.iterations,),
+                 scalar_overrides={'temporal': v.temporal_weight})
+    v._prepare_fn()(np.zeros(frames[0].shape, np.float32))  # clip+preprocess
+    log('video: prewarm done')
+
     from style_transfer2_tpu.utils import as_pil
 
     outs = []

@@ -27,6 +27,7 @@ from PIL import Image
 import yaml
 
 from .. import utils
+from ..engine.objective import ObjectiveSpec
 from ..models.weights import resolve_params
 from . import messages as m
 from . import persist
@@ -271,9 +272,21 @@ class SingleSessionTier(sn.EngineActions):
         try:
             if drv is None or not drv.transfer.norm_set:
                 return
+            # After the first dispatch the values are individual device
+            # scalars; per-key float()/bool() would block the event loop
+            # for a tunnel round trip EACH (~70 ms x 2 x 19 keys). Stack
+            # on device and fetch each dict in one transfer instead (the
+            # batched tier's norms_host() pattern).
+            import jax.numpy as jnp
+            vkeys = list(drv.transfer.norm_vals)
+            skeys = list(drv.transfer.norm_set)
+            vals = np.asarray(jnp.stack(
+                [drv.transfer.norm_vals[k] for k in vkeys]))
+            set_ = np.asarray(jnp.stack(
+                [drv.transfer.norm_set[k] for k in skeys]))
             self.sess.norms = (
-                {k: float(v) for k, v in drv.transfer.norm_vals.items()},
-                {k: bool(v) for k, v in drv.transfer.norm_set.items()})
+                {k: float(v) for k, v in zip(vkeys, vals)},
+                {k: bool(v) for k, v in zip(skeys, set_)})
         except Exception:
             logger.debug('norm capture failed', exc_info=True)
 
@@ -643,6 +656,20 @@ class SingleSessionTier(sn.EngineActions):
         await self._to_driver(m.SetOptimizer(name, step_size))
 
     async def set_weights(self, weights, scalars):
+        old = self.sess.params.get('weights')
+        if old is not None:
+            try:
+                changed = (ObjectiveSpec.from_weights(old[0], old[1])
+                           != ObjectiveSpec.from_weights(weights, scalars))
+            except Exception:
+                changed = True
+            if changed:
+                # A structure change anchors NEW norm keys mid-epoch at
+                # the live iterate, so the earlier capture no longer
+                # matches the engine. Drop it: the next iterate
+                # re-CAPTURES the engine's full norm state (old keys keep
+                # their original anchors — this is not a re-anchoring).
+                self.sess.norms = None
         await self._to_driver(m.SetWeights(weights, scalars))
 
     async def reset_session(self):

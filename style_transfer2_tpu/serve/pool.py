@@ -40,6 +40,7 @@ import yaml
 from .. import utils
 from ..engine.batched import BatchedStyleTransfer
 from ..engine.objective import ObjectiveSpec
+from ..models import vgg19
 from ..models.weights import resolve_params
 from ..optim import OPTIMIZERS
 from . import persist
@@ -899,13 +900,22 @@ class PooledTier:
         lane_state = None
         norms = None
         t = 0
-        if keep_progress and not reset_input and input_arr is None:
+        if (keep_progress or input_arr is not None) and not reset_input:
+            # Warm paths: a content/style upload re-extracts features
+            # around the live iterate (keep_progress), and an explicit
+            # input upload REPLACES the iterate but — like reference
+            # set_input on a same-shape image (worker.py:191-195) — keeps
+            # the counter, the first-eval norms, and the optimizer through
+            # objective_changed (Adam keeps its second moment, L-BFGS
+            # clears and re-primes). Only a reset re-anchors the norms.
             mod = OPTIMIZERS[engine.optimizer_name]
             lane_state = mod.objective_changed(engine.lane_state(sess.lane))
-            # Keep the first-eval norms too: a style/content upload must
-            # not re-anchor the normalized objective (the single-session
-            # engine persists norm state across SetImages; only a reset
-            # clears it).
+            if input_arr is not None:
+                # add_job takes the iterate from lane_state, so the upload
+                # replaces it there (cast to the bucket's compute dtype).
+                lane_state = dict(lane_state,
+                                  x=vgg19.preprocess(input_arr).astype(
+                                      lane_state['x'].dtype))
             norms = engine.lane_norms(sess.lane)
             t = sess.i
         elif input_arr is None:

@@ -375,6 +375,62 @@ def test_pool_style_upload_keeps_progress(pool_client):
     loop.run_until_complete(asyncio.wait_for(body(), 600))
 
 
+def test_pool_input_upload_keeps_norms_and_counter(pool_client):
+    """An input-image upload REPLACES the iterate but must not restart the
+    session: reference set_input on a same-shape image (worker.py:191-195)
+    keeps the optimizer through objective_changed, the first-eval norm
+    cache, and the counter — only reset clears them. The round-4 advisor
+    caught this path zeroing the lane's device norms (re-anchoring the
+    normalized objective at the uploaded image) while sess.norms kept the
+    stale pre-upload capture."""
+    import base64
+
+    client, loop, app = pool_client
+    tier = app['tier']
+
+    async def body():
+        a = await WSSession(client).open()
+        await a.recv_until('state')
+        await a.send({'type': 'start'})
+        for _ in range(30):
+            a.got.pop('iterateInfo', None)
+            info = await a.recv_until('iterateInfo')
+            if info['i'] >= 5:
+                break
+        assert info['i'] >= 5
+        before = info['i']
+
+        sess = next(iter(tier.sessions.values()))
+        engine = tier.engine_of(sess)
+        vals, set_ = engine.lane_norms(sess.lane)
+        vals_before = {k: float(v) for k, v in vals.items()}
+        assert all(bool(v) for v in set_.values())  # anchored
+
+        rng = np.random.RandomState(11)
+        img = Image.fromarray(rng.randint(0, 256, (32, 32, 3))
+                              .astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format='png')
+        data_url = ('data:image/png;base64,'
+                    + base64.b64encode(buf.getvalue()).decode())
+        resp = await client.post(
+            '/upload', data={'size': '32', 'slot': 'input',
+                             'data': data_url},
+            headers=a._headers())
+        assert resp.status == 200
+
+        a.got.pop('iterateInfo', None)
+        info = await a.recv_until('iterateInfo')
+        assert info['i'] > before, (info['i'], before)  # counter continues
+
+        vals_after, set_after = engine.lane_norms(sess.lane)
+        assert all(bool(v) for v in set_after.values())  # still anchored
+        for k, v in vals_after.items():
+            assert float(v) == vals_before[k], k  # same anchors, bit-exact
+        await a.ws.close()
+    loop.run_until_complete(asyncio.wait_for(body(), 600))
+
+
 def test_pool_concurrent_session_churn(pool_client):
     """Stress the lane lifecycle: concurrent clients churning through
     open / start / upload / reset / size-change / disconnect on a 2-lane
