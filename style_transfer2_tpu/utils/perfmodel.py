@@ -49,11 +49,14 @@ for _name, _out in CONV_SPECS:
 
 CHIPS = {
     'v5e': dict(bf16_flops=197.3e12, f32_flops=197.3e12 / 3,
-                hbm_gbs=819e9, vmem_bytes=128 * 2 ** 20),
+                hbm_gbs=819e9, vmem_bytes=128 * 2 ** 20,
+                ici_gbs=45e9, ici_latency=1e-6),
     'v5p': dict(bf16_flops=459e12, f32_flops=459e12 / 3,
-                hbm_gbs=2765e9, vmem_bytes=128 * 2 ** 20),
+                hbm_gbs=2765e9, vmem_bytes=128 * 2 ** 20,
+                ici_gbs=90e9, ici_latency=1e-6),
     'v6e': dict(bf16_flops=918e12, f32_flops=918e12 / 3,
-                hbm_gbs=1640e9, vmem_bytes=128 * 2 ** 20),
+                hbm_gbs=1640e9, vmem_bytes=128 * 2 ** 20,
+                ici_gbs=45e9, ici_latency=1e-6),
 }
 
 # float32_fast: f32 HBM traffic, but matmul inputs rounded to bf16 for
@@ -183,3 +186,101 @@ def model_step(hw, precision='bfloat16', remat=False, chip='v5e',
                      t_floor=max(t_c, t_m),
                      bound='compute' if t_c >= t_m else 'memory',
                      fits_vmem=max_working < spec['vmem_bytes'])
+
+
+# -- spatially-sharded (multi-chip) extension (VERDICT r4 #7) ----------------
+#
+# parallel/spatial.py H-shards the iterate over an n-way 'space' mesh axis
+# and lets GSPMD place the collectives. Their analytic cost on a 1-D ICI
+# ring, per step:
+#
+#   * halo exchanges — every 3x3 conv reads 1 row from each H-neighbor:
+#     each device receives 2 rows of (W, C_in) per forward conv and 2 rows
+#     of (W, C_out) of cotangent per input-gradient conv (+1 more forward
+#     per conv under remat's recompute). Halos sit on the layer dependency
+#     chain (conv N+1 cannot start before its boundary rows arrive), so
+#     their time is additive, not overlapped: bytes/ici_gbs + a per-
+#     exchange ICI latency. Pools are non-overlapping 2x2 — no halo while
+#     the per-device H stays even (snap_hw guarantees the iterate; deep
+#     odd levels replicate and are modeled shard-free).
+#   * Gram psum — the (C, C) style Gram becomes local matmul + one
+#     all-reduce of C*C f32 per style layer (forward), and its gradient
+#     uses the replicated G_diff (no further comm). Ring all-reduce moves
+#     2*(n-1)/n * bytes per link: resolution-independent, latency-leaning.
+#   * scalar psums — the per-step loss/trace reduction: one fused
+#     all-reduce of ~a cache line; pure latency, counted once.
+#
+# ici_gbs is the one-way per-link bandwidth (v5e ~45 GB/s/direction per
+# neighbor on a torus axis); ici_latency a per-collective constant. Both
+# are order-of-magnitude calibration knobs: the model's job is the SHAPE
+# of the sharded regime (where halo cost crosses compute savings, how the
+# floor scales with n), to be calibrated against real ICI when available.
+
+
+@dataclass
+class ShardedStepModel:
+    n_shards: int
+    per_chip: StepModel    # per-device compute/memory floors (1/n work)
+    t_ici: float           # s, halo + psum time on the critical path
+    halo_bytes: float      # per-device bytes received per step
+    n_collectives: int     # latency-bearing exchanges per step
+    t_floor: float         # s, max(compute, memory) + ici
+    bound: str             # 'compute' | 'memory' | 'ici'
+
+    def sol_at(self, step_seconds):
+        return self.t_floor / step_seconds
+
+
+def model_step_sharded(hw, n_shards, precision='bfloat16', remat='block',
+                       chip='v5e', content_layers=DEFAULT_CONTENT,
+                       style_layers=DEFAULT_STYLE):
+    """Roofline for one H-sharded step on an n-way 1-D mesh.
+
+    Per-device compute/memory scale the single-chip model by 1/n on the
+    H axis (layers whose per-device H would vanish — the deep pyramid —
+    replicate in practice, but carry negligible work at the sizes this
+    regime serves, so uniform scaling is kept). ICI terms per the module
+    notes above."""
+    spec = CHIPS[chip]
+    b = DTYPE_BYTES[precision]
+    deepest = max(blob_index(l) for l in
+                  tuple(content_layers) + tuple(style_layers))
+
+    # Per-device floors: the single-chip walk at (H/n, W) reproduces the
+    # 1/n pixel scaling exactly (every conv/pool/Gram term is linear in H;
+    # ceil-pool rounding differs immaterially at sharded-regime sizes).
+    h, w = hw
+    per_hw = (max(1, h // n_shards), w)
+    per_chip = model_step(per_hw, precision, remat, chip,
+                          content_layers, style_layers)
+
+    passes_fwd = 2 if remat else 1
+    halo_bytes = 0.0
+    n_coll = 0
+    if n_shards > 1:
+        for name, hh, ww, c_in, c_out in _grid_walk(hw):
+            if blob_index(name) > deepest:
+                break
+            if not name.startswith('conv'):
+                continue
+            # Layers whose grid no longer shards (per-device H < 2 rows)
+            # replicate: no halo, no comm.
+            if hh // n_shards < 2:
+                continue
+            row = ww * b
+            halo_bytes += 2 * row * (passes_fwd * c_in + c_out)
+            n_coll += 2 * (passes_fwd + 1)
+        for layer in style_layers:
+            c = layer_channels(layer)
+            halo_bytes += 2.0 * (n_shards - 1) / n_shards * c * c * 4
+            n_coll += 2 * (n_shards - 1)
+        n_coll += 2 * (n_shards - 1)   # the fused scalar/trace psum
+
+    t_ici = halo_bytes / spec['ici_gbs'] + n_coll * spec['ici_latency']
+    t_local = max(per_chip.t_compute, per_chip.t_memory)
+    t_floor = t_local + t_ici
+    bound = per_chip.bound if t_local >= t_ici else 'ici'
+    return ShardedStepModel(n_shards=n_shards, per_chip=per_chip,
+                            t_ici=t_ici, halo_bytes=halo_bytes,
+                            n_collectives=n_coll, t_floor=t_floor,
+                            bound=bound)

@@ -74,6 +74,40 @@ def test_matches_bench_flops_accounting():
     np.testing.assert_allclose(m.flops, total, rtol=1e-12)
 
 
+def test_sharded_model():
+    """The sharded extension (VERDICT r4 #7): n=1 degenerates to the
+    single-chip model; per-device work scales ~1/n while ICI terms grow;
+    the 4K-regime prediction beats one chip by a wide margin."""
+    from style_transfer2_tpu.utils.perfmodel import model_step_sharded
+
+    hw = (2560, 3840)
+    one = model_step_sharded(hw, 1, remat=False)
+    assert one.t_ici == 0 and one.n_collectives == 0
+    assert abs(one.t_floor - model_step(hw, 'bfloat16').t_floor) < 1e-12
+
+    m4 = model_step_sharded(hw, 4)
+    m8 = model_step_sharded(hw, 8)
+    base = model_step_sharded(hw, 1)
+    # Near-linear compute scaling (per-device walk at H/n).
+    assert 3.5 < base.per_chip.t_compute / m4.per_chip.t_compute < 4.5
+    assert 1.7 < m4.per_chip.t_compute / m8.per_chip.t_compute < 2.3
+    # ICI terms are real but small at 4K: halos are single rows.
+    assert 0 < m4.t_ici < m8.t_ici
+    assert m8.t_ici < 0.2 * m8.t_floor
+    assert m8.halo_bytes > m4.halo_bytes     # deeper grids still sharded
+    # End to end: 8 chips >= 5x one chip at this size, and the floor is
+    # the local roofline plus the ICI serial term.
+    assert base.t_floor / m8.t_floor > 5.0
+    assert abs(m8.t_floor
+               - (max(m8.per_chip.t_compute, m8.per_chip.t_memory)
+                  + m8.t_ici)) < 1e-12
+    assert m8.bound in ('compute', 'memory', 'ici')
+
+    # Latency-dominated regime: a tiny grid sharded 8 ways is ici-bound.
+    tiny = model_step_sharded((256, 256), 8)
+    assert tiny.t_ici / tiny.t_floor > 0.2
+
+
 def test_cli_table(capsys):
     import sys
     sys.path.insert(0, 'tools')

@@ -112,6 +112,31 @@ def main(argv=None):
     })
     record['ok'] = (record['all_finite'] and record['loss_decreased']
                     and parity)
+
+    # Predicted real-hardware cost for THIS artifact's configuration
+    # (VERDICT r4 #7): the virtual CPU mesh proves correctness, the
+    # analytic sharded roofline (utils/perfmodel.py model_step_sharded)
+    # supplies the performance expectation a real v5e-8 run would be
+    # judged against — per-device compute/memory floors at H/n plus the
+    # halo + psum ICI terms on the critical path.
+    from style_transfer2_tpu.utils.perfmodel import (
+        model_step, model_step_sharded)
+    pred = model_step_sharded(hw, N_DEVICES, 'bfloat16', 'block', 'v5e')
+    single = model_step(hw, 'bfloat16', 'block', 'v5e')
+    record['predicted_v5e8'] = {
+        'floor_ms_per_step': round(pred.t_floor * 1e3, 2),
+        'per_chip_compute_ms': round(pred.per_chip.t_compute * 1e3, 2),
+        'per_chip_memory_ms': round(pred.per_chip.t_memory * 1e3, 2),
+        'ici_ms': round(pred.t_ici * 1e3, 3),
+        'halo_mbytes_per_step': round(pred.halo_bytes / 2 ** 20, 1),
+        'collectives_per_step': pred.n_collectives,
+        'bound': pred.bound,
+        'single_chip_floor_ms': round(single.t_floor * 1e3, 2),
+        'scaling_efficiency_8x': round(
+            single.t_floor / pred.t_floor / N_DEVICES, 3),
+        'note': 'analytic roofline; no real multi-chip ICI exists in this '
+                'environment — calibrate ici_gbs/ici_latency when it does',
+    }
     Path(args.out).write_text(json.dumps(record, indent=1))
     print(json.dumps({k: record[k] for k in
                       ('hw', 'ok', 'step_walls_s', 'losses')}), flush=True)
