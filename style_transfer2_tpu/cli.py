@@ -104,10 +104,14 @@ def parse_args(argv=None):
                         'a fraction of a full-precision run)')
     p.add_argument('--polish-precision',
                    choices=('float32', 'float32_fast'),
-                   default='float32_fast',
-                   help='precision of the --polish phase (float32_fast: f32 '
-                        'state at ~2x the bfloat16 step cost; float32: '
-                        'reference-exact parity math)')
+                   default='float32',
+                   help='precision of the --polish phase. float32 (default) '
+                        '= reference-exact parity math: the round-5 hardware '
+                        'arms measured it recovering 87%% of the bf16 '
+                        'quality gap in 1.7 s at 512px, where float32_fast '
+                        'recovered only 8%% (its single-pass matmul noise '
+                        'floor is the same order as the bf16 delta itself '
+                        '- tools/hw_round5_results.jsonl polish_*_v2)')
     p.add_argument('--trace-csv', default=None, help='write the trace here')
     p.add_argument('--checkpoint', default=None,
                    help='save a resumable checkpoint directory at the end')

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas import conv as _pconv
+
 # RGB channel means (reference worker.py:34).
 MEAN_RGB = np.float32([123.68, 116.779, 103.939])
 
@@ -52,6 +54,13 @@ POOL_ARGMAX_VJP = False
 # True  = on for bfloat16 at even H, W (the speed mode; float32 keeps the
 #         reference-exact summation order). 'always' = also float32 (tests).
 BLOCK1_S2D = True
+
+# Fused Pallas conv3x3+bias+ReLU with the masked input-gradient backward
+# (ops/pallas/conv.py) on the layers it supports (C_in >= 64, C_out a lane
+# multiple, tileable grids); unsupported layers keep XLA's lowering. bf16
+# only — float32 is the parity mode. Default set by the round-5 hardware
+# A/B (tools/hw_round5b.sh).
+PALLAS_CONV = False
 
 # (name, out_channels) for each conv layer, in network order.
 CONV_SPECS = (
@@ -373,15 +382,21 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
                              "s2d-resident input")
         feats['data'] = x
 
+    use_pallas = PALLAS_CONV and compute_dtype == jnp.bfloat16
+
     def conv_block(h, w, b):
+        if use_pallas and _pconv.supported(h.shape, w.shape):
+            return _pconv.conv3x3_bias_relu(h, w, b)
         return jnp.maximum(_conv(h, w, b, precision), 0.0)
 
     def conv1_block(h, w, b):
         return jnp.maximum(_conv1_s2d(h, w, b, precision), 0.0)
 
     def s2d_conv_block(h, w, b):
-        return jnp.maximum(
-            _conv(h, _s2d_kernel(w), jnp.tile(b, 4), precision), 0.0)
+        w4, b4 = _s2d_kernel(w), jnp.tile(b, 4)
+        if use_pallas and _pconv.supported(h.shape, w4.shape):
+            return _pconv.conv3x3_bias_relu(h, w4, b4)
+        return jnp.maximum(_conv(h, w4, b4, precision), 0.0)
 
     per_conv_remat = remat is True or remat == 'conv'
     block_remat = remat == 'block'

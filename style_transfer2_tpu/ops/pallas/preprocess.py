@@ -19,8 +19,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.vgg19 import MEAN_RGB
 from .style_kernel import _use_interpret
+
+
+def _mean_rgb():
+    # Lazy: models.vgg19 imports ops.pallas.conv, so a module-level import
+    # here would be circular.
+    from ...models.vgg19 import MEAN_RGB
+    return MEAN_RGB
 
 TILE_H = 256
 
@@ -67,7 +73,7 @@ def preprocess_pallas(image):
         image = image[0]
     h, w, c = image.shape
     flat = image.reshape(h, w * c)
-    mean_row = jnp.tile(jnp.asarray(MEAN_RGB, jnp.float32), w)[None, :]
+    mean_row = jnp.tile(jnp.asarray(_mean_rgb(), jnp.float32), w)[None, :]
     out = _elementwise_call(_preprocess_kernel, flat, mean_row, jnp.float32)
     return out.reshape(1, h, w, c)
 
@@ -81,6 +87,6 @@ def deprocess_pallas(x):
         x = x[0]
     h, w, c = x.shape
     flat = x.reshape(h, w * c)
-    mean_row = jnp.tile(jnp.asarray(MEAN_RGB, jnp.float32), w)[None, :]
+    mean_row = jnp.tile(jnp.asarray(_mean_rgb(), jnp.float32), w)[None, :]
     out = _elementwise_call(_deprocess_kernel, flat, mean_row, jnp.float32)
     return out.reshape(h, w, c)

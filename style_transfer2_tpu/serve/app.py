@@ -450,8 +450,9 @@ class SingleSessionTier(sn.EngineActions):
     # pauses — recovering the measured bf16 quality delta (+2%/+4.6% final
     # loss at 512/1024px) while the bulk of the optimization kept bf16
     # speed. Mechanics: the driver respawns at `polish_precision` (config,
-    # default float32_fast) through the existing supervisor + GetImages
-    # bootstrap (the session's float32 iterate is the warm start; the
+    # default float32: parity math recovers 87% of the bf16 gap where
+    # float32_fast recovered 8% — hw_round5 polish_*_v2 arms) through the
+    # supervisor + GetImages bootstrap (the float32 iterate warm-starts; the
     # optimizer re-primes, same as the CLI), with the polish programs
     # precompiled in the background during the final rung. Any user-driven
     # state change abandons the phase and returns to the main precision.
@@ -463,7 +464,7 @@ class SingleSessionTier(sn.EngineActions):
             return 0
 
     def _polish_precision(self):
-        return self.config.get('polish_precision', 'float32_fast')
+        return self.config.get('polish_precision', 'float32')
 
     def _polish_applicable(self):
         """Polish must strictly RAISE precision (a float32 session

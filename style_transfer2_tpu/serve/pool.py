@@ -495,7 +495,7 @@ class PooledTier:
             return 0
 
     def _polish_precision(self):
-        return self.config.get('polish_precision', 'float32_fast')
+        return self.config.get('polish_precision', 'float32')
 
     def _polish_applicable(self, sess):
         return (self._polish_iters(sess) > 0

@@ -83,3 +83,40 @@ def test_vmap_batching():
     x, w, b = _case(4, (3, 8, 8, 64), 128)
     one = jax.vmap(lambda xi: conv3x3_bias_relu(xi[None], w, b)[0])(x)
     np.testing.assert_allclose(one, _ref(x, w, b), atol=1e-4, rtol=1e-5)
+
+
+def test_model_wiring_parity():
+    """vgg19.PALLAS_CONV swaps the supported layers onto the fused kernel:
+    features and the image gradient must match the XLA path to bf16
+    resolution (covers both the s2d block-1 conv and the trunk convs)."""
+    from style_transfer2_tpu.models import random_params, vgg19
+
+    params = random_params(seed=0)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 32, 32, 3) * 255.0 - 128.0, jnp.float32)
+    layers = ('conv1_2', 'conv2_2', 'conv3_3')
+
+    def run():
+        feats = vgg19.extract_features(
+            params, x, layers, compute_dtype=jnp.bfloat16)
+        grad = jax.grad(lambda x_: sum(
+            jnp.sum(jnp.square(f)) for f in vgg19.extract_features(
+                params, x_, layers, compute_dtype=jnp.bfloat16).values()))(x)
+        return feats, grad
+
+    try:
+        vgg19.PALLAS_CONV = False
+        feats0, grad0 = run()
+        vgg19.PALLAS_CONV = True
+        jax.clear_caches()  # flag is read at trace time, not in the jit key
+        feats1, grad1 = run()
+    finally:
+        vgg19.PALLAS_CONV = False
+        jax.clear_caches()
+
+    for name in layers:
+        a, b = np.float32(feats0[name]), np.float32(feats1[name])
+        scale = max(1.0, float(np.abs(a).max()))
+        assert np.abs(a - b).max() / scale < 0.03, name
+    gscale = max(1.0, float(np.abs(np.float32(grad0)).max()))
+    assert np.abs(np.float32(grad0 - grad1)).max() / gscale < 0.05

@@ -139,6 +139,10 @@ def main(argv=None):
                    help='objective.STYLE_FOLD: style scale folded into '
                         'gram_diff, rms(s_raw) derived in the Gram domain '
                         '(bf16_feed branch only)')
+    p.add_argument('--pallas-conv', action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help='vgg19.PALLAS_CONV: fused Pallas conv3x3+bias+ReLU '
+                        'with masked input-gradient backward (bf16 only)')
     p.add_argument('--platform', default='')
     p.add_argument('--keep-trace', default='',
                    help='keep the profiler trace at this directory')
@@ -155,6 +159,8 @@ def main(argv=None):
         vgg19.S2D_TRANSFORM = args.s2d_transform
     if args.s2d_pool:
         vgg19.S2D_POOL = args.s2d_pool
+    if args.pallas_conv is not None:
+        vgg19.PALLAS_CONV = args.pallas_conv
     from style_transfer2_tpu.engine import objective as _objective
     if args.bf16_taps is not None:
         _objective.BF16_TAPS = args.bf16_taps
@@ -268,6 +274,7 @@ def main(argv=None):
         'style_fold': _objective.STYLE_FOLD,
         's2d_resident': _steps.S2D_RESIDENT,
         'bf16_history': _lbfgs.BF16_HISTORY,
+        'pallas_conv': getattr(vgg19, 'PALLAS_CONV', False),
         'device_ms_per_step': None if best_ms is None else round(best_ms, 3),
         'roofline_floor_ms': floor_ms, 'pct_of_sol': sol_pct,
         'wall_best_its_per_s': round(args.chunk / min(wall), 2),
