@@ -19,14 +19,24 @@ big shapes — docs/ROUND2.md measured ~95% of v5e bf16 peak):
     worker.py:88-106 backpropagates to the image only), so dw/db are
     structural zeros.
 
-Tiling: grid over (batch, H tiles, W tiles); the input block rides
-`pl.Element(t + 2, padding=(1, 1))` specs in BOTH spatial dims — the
-Pallas pipeline fetches each tile WITH its 1-pixel halo ring, double-
-buffered, and the kernel zeroes the out-of-bounds halo rows/columns at
-the image edges (SAME padding). Each kernel tap (dy, dx) is then just a
-static (th, tw) window of the halo'd block feeding one MXU matmul with
-K = C_in — so the kernel is gated to C_in >= 64 (thin layers keep XLA's
-im2col lowering). Channels live on lanes throughout.
+Tiling: 1-D grid over output row-tiles (x batch); the input block rides a
+`pl.Element(th + 2, padding=(1, 1))` spec — the Pallas pipeline fetches
+each tile WITH its 1-row halos, double-buffered, and the kernel zeroes the
+out-of-bounds halo rows at the image top/bottom (SAME padding). W-padding
+is two sublane-shifted views built in VMEM (concat with a zero column).
+Channels live on lanes; K = C_in per tap, so the kernel is gated to
+C_in >= 64 (thin layers keep XLA's im2col lowering).
+
+Two Mosaic lowering constraints shape this design (both reproduced via
+jax.export cross-platform lowering, round 5):
+  * a spec's dims must be ALL Element or ALL Blocked — so every dim of the
+    halo'd input and output specs is an Element (weights/bias are separate
+    specs and stay Blocked);
+  * the last TWO block dims (W, C) must be 8/128-multiples or span the
+    full array — which makes a W-halo (tw + 2 columns) impossible at
+    power-of-two widths (tw + 2 is never 0 mod 8), so tiles span full
+    rows and only H carries a halo. A 2-D halo variant was built and
+    REVERTED for this (git history, round-5 part 4).
 
 Used by models/vgg19.py behind PALLAS_CONV (hardware-A/B gate, default
 set by measurement). Interpret mode makes the CPU tests exact.
@@ -41,119 +51,110 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .style_kernel import _use_interpret
 
-# Row/column tile candidates, largest-area first within the VMEM budget.
-_TILE_ROWS = (32, 16, 8, 4)
-_TILE_COLS = (512, 256, 128, 64, 32, 16, 8)
+# Row-tile candidates, largest first: th rows of (W, C) per grid step.
+_TILE_ROWS = (32, 16, 8, 4, 2, 1)
 
 # Gate: K = C_in per tap; below this the MXU tile padding waste exceeds
 # the epilogue savings (conv1_1's K=3 runs at ~2% of peak as 9 matmuls —
 # XLA's im2col lowering is strictly better there).
 MIN_CIN = 64
 
-# VMEM budget for the live working set (v5e VMEM is ~16 MB/core; headroom
-# left for Mosaic's own temporaries and the resident weight block).
+# VMEM budget for the live working set (v5e has ~16 MB more VMEM than
+# this; headroom left for Mosaic's own spills and the weight block).
 _VMEM_BUDGET = 11 * 2 ** 20
 
 
 def _pick_tile(h, w, c_in, c_out, itemsize, n_halo_inputs=1):
-    """Largest (th, tw) whose working set fits VMEM: the pipeline double-
+    """Largest row tile whose working set fits VMEM: the pipeline double-
     buffers each halo'd input and the output block; the kernel body keeps
-    the loaded block, one tap-window temporary, and two f32 accumulator
+    the block plus its two W-shifted views and two f32 accumulator
     temporaries alive."""
-    best = None
     for th in _TILE_ROWS:
         if h % th:
             continue
-        for tw in _TILE_COLS:
-            if w % tw:
-                continue
-            in_b = (th + 2) * (tw + 2) * c_in * itemsize
-            out_b = th * tw * c_out * itemsize
-            acc_b = th * tw * c_out * 4
-            live = (3 + 1) * in_b + 3 * (n_halo_inputs - 1) * in_b \
-                + 2 * out_b + 2 * acc_b
-            if live < _VMEM_BUDGET:
-                cand = (th * tw, th, tw)
-                if best is None or cand > best:
-                    best = cand
-    return best and best[1:]
+        in_b = (th + 2) * w * c_in * itemsize
+        out_b = th * w * c_out * itemsize
+        acc_b = th * w * c_out * 4
+        live = (3 + 2) * in_b + 2 * (n_halo_inputs - 1) * in_b \
+            + 2 * out_b + 2 * acc_b
+        if live < _VMEM_BUDGET:
+            return th
+    return None
 
 
 def supported(x_shape, w_shape):
     """Whether the fused kernel covers this conv (the caller falls back to
-    XLA's lowering otherwise): NHWC 3x3, C_in >= MIN_CIN, spatial dims
-    tileable within the VMEM budget in BOTH directions, lane-aligned
-    C_out."""
+    XLA's lowering otherwise): NHWC 3x3, C_in >= MIN_CIN, H tileable
+    within the VMEM budget in BOTH directions, lane-friendly C_out."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     n, h, w, c_in = x_shape
     kh, kw, wc_in, c_out = w_shape
     return (kh == 3 and kw == 3 and wc_in == c_in
-            and c_in >= MIN_CIN and c_out % 128 == 0
+            and c_in >= MIN_CIN and c_out % 128 == 0 and w >= 8
             and _pick_tile(h, w, c_in, c_out, 2) is not None
             and _pick_tile(h, w, c_out, c_in, 2, 2) is not None)
 
 
-def _edge_mask(v, th, tw):
-    """Zeroes the out-of-bounds halo ring of a (1, th+2, tw+2, C) block at
-    the image edges (SAME padding): rows at the H extremes of the grid,
-    columns at the W extremes."""
+def _edge_mask(v, th):
+    """Zeroes the out-of-bounds halo rows of a (1, th+2, W, C) block at the
+    image top (first grid row) and bottom (last): SAME padding in H."""
     i = pl.program_id(1)
-    j = pl.program_id(2)
-    ni = pl.num_programs(1)
-    nj = pl.num_programs(2)
+    n = pl.num_programs(1)
     row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, tw + 2, 1), 1)
-    ok = (((row > 0) | (i > 0)) & ((row < th + 1) | (i < ni - 1))
-          & ((col > 0) | (j > 0)) & ((col < tw + 1) | (j < nj - 1)))
+    ok = ((row > 0) | (i > 0)) & ((row < th + 1) | (i < n - 1))
     return jnp.where(ok, v[0], jnp.zeros_like(v[0]))
 
 
-def _accumulate_taps(v, w_ref, th, tw):
-    """sum over the 9 taps: (th+2, tw+2, C_in) halo block x
-    (3, 3, C_in, C_out) -> (th, tw, C_out) f32. Each tap is a static
-    window of the halo'd block — no shifted copies."""
+def _accumulate_taps(v, w_ref, th):
+    """sum over the 9 taps: (th+2, W, C_in) halo block x (3, 3, C_in, C_out)
+    -> (th, W, C_out) f32."""
+    zcol = jnp.zeros_like(v[:, :1])
+    shifted = (jnp.concatenate([zcol, v[:, :-1]], axis=1),   # kernel col 0
+               v,                                            # kernel col 1
+               jnp.concatenate([v[:, 1:], zcol], axis=1))    # kernel col 2
     acc = None
     for dy in range(3):
         for dx in range(3):
             part = jax.lax.dot_general(
-                v[dy:dy + th, dx:dx + tw], w_ref[dy, dx],
+                shifted[dx][dy:dy + th], w_ref[dy, dx],
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
     return acc
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, th, tw, relu):
-    v = _edge_mask(x_ref[:], th, tw)
-    acc = _accumulate_taps(v, w_ref, th, tw)
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, th, relu):
+    v = _edge_mask(x_ref[:], th)
+    acc = _accumulate_taps(v, w_ref, th)
     acc = acc + b_ref[0].astype(jnp.float32)
     if relu:
         acc = jnp.maximum(acc, 0.0)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _bwd_kernel(g_ref, y_ref, wt_ref, o_ref, *, th, tw):
+def _bwd_kernel(g_ref, y_ref, wt_ref, o_ref, *, th):
     # dReLU then dConv: mask the cotangent where the forward output was
-    # clamped, at the HALO'D positions (the mask belongs to g's pixels).
+    # clamped, at the HALO'D rows (the mask belongs to g's positions).
     g = g_ref[:] * (y_ref[:] > 0).astype(g_ref.dtype)
-    v = _edge_mask(g, th, tw)
-    o_ref[0] = _accumulate_taps(v, wt_ref, th, tw).astype(o_ref.dtype)
+    v = _edge_mask(g, th)
+    o_ref[0] = _accumulate_taps(v, wt_ref, th).astype(o_ref.dtype)
 
 
-def _halo_spec(th, tw, c):
-    return pl.BlockSpec((1, pl.Element(th + 2, padding=(1, 1)),
-                         pl.Element(tw + 2, padding=(1, 1)), c),
-                        lambda b, i, j: (b, i * th, j * tw, 0))
+def _halo_spec(th, w, c):
+    # All-Element (index map yields ELEMENT offsets): mixing Element and
+    # Blocked dims in one spec is unsupported.
+    return pl.BlockSpec((pl.Element(1), pl.Element(th + 2, padding=(1, 1)),
+                         pl.Element(w), pl.Element(c)),
+                        lambda b, i: (b, i * th, 0, 0))
 
 
 def _weight_spec(w4):
-    return pl.BlockSpec((3, 3) + w4.shape[2:],
-                        lambda b, i, j: (0, 0, 0, 0),
+    return pl.BlockSpec((3, 3) + w4.shape[2:], lambda b, i: (0, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _call(kernel, xs, w4, extra_specs, out_dtype, th, tw, flops):
+def _call(kernel, xs, w4, extra_specs, out_dtype, th, flops):
     """Shared pallas_call plumbing: xs are (N, H, W, C)-shaped halo'd
     inputs, w4 the (3, 3, K, C_out) weights (VMEM-resident, constant),
     extra_specs for trailing small operands (bias)."""
@@ -163,11 +164,12 @@ def _call(kernel, xs, w4, extra_specs, out_dtype, th, tw, flops):
         + int(w4.size) * w4.dtype.itemsize + n * h * w * c_out * 2
     return pl.pallas_call(
         kernel,
-        grid=(n, h // th, w // tw),
-        in_specs=([_halo_spec(th, tw, x.shape[3]) for x in xs]
+        grid=(n, h // th),
+        in_specs=([_halo_spec(th, w, x.shape[3]) for x in xs]
                   + [_weight_spec(w4)] + extra_specs),
-        out_specs=pl.BlockSpec((1, th, tw, c_out),
-                               lambda b, i, j: (b, i, j, 0)),
+        out_specs=pl.BlockSpec((pl.Element(1), pl.Element(th),
+                                pl.Element(w), pl.Element(c_out)),
+                               lambda b, i: (b, i * th, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_out), out_dtype),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
@@ -182,13 +184,13 @@ def _conv_flops(x, c_out):
 
 
 def _fwd_call(x, w, b, relu):
-    th, tw = _pick_tile(x.shape[1], x.shape[2], x.shape[3], w.shape[3],
-                        x.dtype.itemsize)
-    kernel = functools.partial(_fwd_kernel, th=th, tw=tw, relu=relu)
+    th = _pick_tile(x.shape[1], x.shape[2], x.shape[3], w.shape[3],
+                    x.dtype.itemsize)
+    kernel = functools.partial(_fwd_kernel, th=th, relu=relu)
     c_out = w.shape[3]
-    bias_spec = pl.BlockSpec((1, c_out), lambda b_, i, j: (0, 0),
+    bias_spec = pl.BlockSpec((1, c_out), lambda b_, i: (0, 0),
                              memory_space=pltpu.VMEM)
-    call = _call(kernel, [x], w, [bias_spec], x.dtype, th, tw,
+    call = _call(kernel, [x], w, [bias_spec], x.dtype, th,
                  _conv_flops(x, c_out))
     return call(x, w, b.reshape(1, -1))
 
@@ -198,10 +200,10 @@ def _bwd_call(g, y, w, in_dtype):
     # kernel. The flip is an op on the (3, 3, C_in, C_out) constants —
     # loop-invariant, hoisted out of the step scan by XLA.
     wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
-    th, tw = _pick_tile(g.shape[1], g.shape[2], g.shape[3], wt.shape[3],
-                        g.dtype.itemsize, n_halo_inputs=2)
-    kernel = functools.partial(_bwd_kernel, th=th, tw=tw)
-    call = _call(kernel, [g, y], wt, [], in_dtype, th, tw,
+    th = _pick_tile(g.shape[1], g.shape[2], g.shape[3], wt.shape[3],
+                    g.dtype.itemsize, n_halo_inputs=2)
+    kernel = functools.partial(_bwd_kernel, th=th)
+    call = _call(kernel, [g, y], wt, [], in_dtype, th,
                  _conv_flops(g, wt.shape[3]))
     return call(g, y, wt)
 

@@ -19,6 +19,7 @@ import asyncio
 import io
 import logging
 import os
+import time
 from pathlib import Path
 
 from aiohttp import web
@@ -31,6 +32,7 @@ from ..engine.objective import ObjectiveSpec
 from ..models.weights import resolve_params
 from . import messages as m
 from . import persist
+from . import phases
 from . import session as sn
 from .driver import Driver
 from .error_pages import error_pages
@@ -79,14 +81,55 @@ class SingleSessionTier(sn.EngineActions):
         self.router.enabled_check = lambda: self.sess.worker_ready
         self.persist_path = config.get('persist_path', '')
         self._persist_sig = None
-        # Active multi-scale ladder (coarse-to-fine serving schedule):
-        # dict(rungs=[(h, w)...], idx, per_rung, next_at) or None.
-        self.ladder = None
-        # Active polish phase (full-precision tail after the ladder):
-        # dict(n, await_ready, until_i) or None; the override redirects
-        # driver respawns to the polish precision while set.
-        self.polish = None
+        # The automated session schedule (ladder -> polish -> pause): a
+        # phases.Schedule or None. The tier's own transition mechanics ride
+        # alongside: _await_grid is a pending rung advance (budgets anchor
+        # when the new grid shows up in the iterate stream), _polish_waiting
+        # a pending polish respawn (anchors when the polish driver reports
+        # ready). The override redirects driver respawns to the polish
+        # precision while set — it outlives the schedule, because a
+        # finished tail leaves the session paused at the raised precision.
+        self.sched = None
+        self._await_grid = None
+        self._polish_waiting = False
         self._precision_override = None
+        # Cold-start metric (VERDICT r4 #5): seconds from the session's
+        # first `start` command to its first iterate — the user-visible
+        # compile+dispatch latency the boot prewarm exists to hide.
+        self.first_iterate_s = None
+        self._first_start_t = None
+
+    # `ladder` / `polish` expose the schedule by phase (tests and the
+    # measurement tools check these for None-ness; assigning None abandons
+    # that phase — the pre-phases.Schedule API, kept stable).
+
+    @property
+    def ladder(self):
+        s = self.sched
+        return s if (s is not None and s.laddering) else None
+
+    @ladder.setter
+    def ladder(self, value):
+        if value is not None:
+            raise AttributeError('ladder is schedule-managed; only None '
+                                 '(abandon) may be assigned')
+        if self.sched is not None and self.sched.laddering:
+            self.sched = None
+        self._await_grid = None
+
+    @property
+    def polish(self):
+        s = self.sched
+        return s if (s is not None and s.polishing) else None
+
+    @polish.setter
+    def polish(self, value):
+        if value is not None:
+            raise AttributeError('polish is schedule-managed; only None '
+                                 '(abandon) may be assigned')
+        if self.sched is not None and self.sched.polishing:
+            self.sched = None
+        self._polish_waiting = False
 
     # -- config helpers -----------------------------------------------------
 
@@ -106,22 +149,43 @@ class SingleSessionTier(sn.EngineActions):
         return self.placement.snap_hw(hw)
 
     def _prewarm_grids(self):
-        """Grids for the driver's background compile prewarm: each
-        configured prewarm size, run through the SAME snap + fit pipeline
-        a live change_size request takes, at the current content image's
-        aspect ratio. Computed per driver spawn so a content upload that
-        changes the aspect re-aims the next respawn's prewarm."""
-        sizes = self.config.get('prewarm_sizes', '')
-        if not sizes or self.sess.content_image is None:
-            return []
+        """Grids for the driver's background compile prewarm: the grids the
+        session's FIRST start will need (its own params grid — and the
+        ladder's first rung when one is configured, since a fresh start
+        drops there), then each configured prewarm size — all run through
+        the SAME snap + fit pipeline a live change_size request takes, at
+        the current content image's aspect ratio. With a warm persistent
+        cache this makes cold-boot time-to-first-iterate seconds, not a
+        foreground compile (VERDICT r4 #5). Computed per driver spawn so a
+        content upload that changes the aspect re-aims the next respawn's
+        prewarm."""
         img = self.sess.content_image
+        if img is None:
+            return []
         grids = []
-        for tok in sizes.split(','):
-            size = self._snap(int(tok.strip()))
-            hw = self._snap_grid(
-                utils.fit_into_square((img.height, img.width), size, True))
+
+        def add_hw(hw):
             if hw not in grids:
                 grids.append(hw)
+
+        def add_size(size):
+            add_hw(self._snap_grid(utils.fit_into_square(
+                (img.height, img.width), self._snap(int(size)), True)))
+
+        try:
+            add_size(int(self.sess.params.get('size')))
+        except (TypeError, ValueError):
+            pass
+        if self._ladder_iters():
+            target_hw = self._ladder_target_hw()
+            if target_hw is not None:
+                min_scale = self.config.getint('ladder_min_scale', 96)
+                rungs = utils.scales(target_hw, min_size=min_scale)
+                if rungs:
+                    add_hw(self._snap_grid(rungs[0]))
+        for tok in self.config.get('prewarm_sizes', '').split(','):
+            if tok.strip():
+                add_size(tok)
         return grids
 
     def _dispatch_config(self):
@@ -237,10 +301,15 @@ class SingleSessionTier(sn.EngineActions):
                               if b.image is not None), None)
                 self.sess.note_iterates(batch[-1].i, image,
                                         [b.trace for b in batch])
+                if (self.first_iterate_s is None
+                        and self._first_start_t is not None):
+                    self.first_iterate_s = round(
+                        time.monotonic() - self._first_start_t, 2)
+                    logger.info('first iterate %.2fs after start',
+                                self.first_iterate_s)
                 if self.sess.norms is None:
                     self._capture_norms()
-                await self._ladder_tick()
-                await self._polish_tick()
+                await self._phase_tick()
             elif isinstance(msg, m.WorkerReady):
                 self.sess.worker_ready = True
                 self.layers = msg.layers
@@ -363,7 +432,7 @@ class SingleSessionTier(sn.EngineActions):
     async def _maybe_begin_ladder(self, force=False):
         per_rung = self._ladder_iters()
         sess = self.sess
-        if (not per_rung or self.ladder is not None
+        if (not per_rung or self.sched is not None
                 or (sess.i > 1 and not force) or sess.input_arr is None):
             return
         target_hw = self._ladder_target_hw()
@@ -377,53 +446,84 @@ class SingleSessionTier(sn.EngineActions):
                 rungs.append(s)
         if len(rungs) < 2:
             return
-        # A rung's iteration budget starts counting when its GRID takes
-        # effect ('await_grid'): under pipelined dispatch, iterates from
-        # chunks dispatched at the previous grid keep arriving after the
-        # advance, and counting those would burn the new rung's budget on
-        # old-grid work (they also make a reset's stale in-flight iterates
-        # harmless — the schedule won't move until rung 0's grid shows up).
-        self.ladder = {'rungs': rungs, 'idx': 0, 'per_rung': per_rung,
-                       'next_at': None, 'await_grid': tuple(rungs[0])}
+        polish_n = (self._polish_iters() if self._polish_applicable()
+                    else 0)
+        self.sched = phases.Schedule(rungs, per_rung, polish_n)
         logger.info('serving ladder: %s at %d iters/rung', rungs, per_rung)
-        await self._change_grid(rungs[0])
-        await self._to_driver(m.Prewarm([rungs[1]]))
+        await self._run_action(self.sched.begin())
 
-    async def _ladder_tick(self):
-        lad = self.ladder
+    async def _phase_tick(self):
+        """Drives the shared schedule from the iterate stream. A rung's
+        iteration budget starts counting when its GRID takes effect
+        (_await_grid): under pipelined dispatch, iterates from chunks
+        dispatched at the previous grid keep arriving after the advance,
+        and counting those would burn the new rung's budget on old-grid
+        work (they also make a reset's stale in-flight iterates harmless —
+        the schedule won't move until rung 0's grid shows up). The polish
+        budget anchors in _polish_on_ready instead (driver event, not an
+        iterate observation)."""
+        sched = self.sched
         sess = self.sess
-        if lad is None:
+        if sched is None:
             return
-        if lad.get('await_grid'):
+        if self._await_grid is not None:
             if (sess.input_arr is None
-                    or tuple(sess.input_arr.shape[:2]) != lad['await_grid']):
+                    or tuple(sess.input_arr.shape[:2]) != self._await_grid):
                 return   # still draining old-grid in-flight iterates
-            lad['await_grid'] = None
-            rem = lad.pop('budget_remaining', None)
-            lad['next_at'] = sess.i + (lad['per_rung'] if rem is None
-                                       else rem)
+            self._await_grid = None
+            sched.transition_done(sess.i)
             return
-        if sess.i < lad['next_at']:
-            return
-        lad['idx'] += 1
-        if lad['idx'] >= len(lad['rungs']):
-            self.ladder = None
+        if self._polish_waiting:
+            return   # budget anchors when the polish driver reports ready
+        was_laddering = sched.laddering
+        if was_laddering:
+            # Polish applicability is decided when the ladder completes
+            # (the user may toggle the params' polish key mid-ladder).
+            sched.polish_n = (self._polish_iters()
+                              if self._polish_applicable() else 0)
+        action = sched.tick(sess.i)
+        if was_laddering and not sched.laddering:
             logger.info('serving ladder complete at %s',
                         tuple(sess.input_arr.shape[:2]))
-            await self._maybe_begin_polish()
+        await self._run_action(action)
+
+    async def _run_action(self, action):
+        """Executes one schedule action with this tier's mechanics: a rung
+        advance is a device-side grid change (+ next-rung or polish
+        prewarm), a polish begin is a driver respawn at the raised
+        precision, a pause ends the tail."""
+        if action is None:
+            if self.sched is not None and self.sched.phase == 'done':
+                self.sched = None
             return
-        hw = lad['rungs'][lad['idx']]
-        lad['await_grid'] = tuple(hw)
-        lad['next_at'] = None
-        logger.info('serving ladder: advancing to %s', hw)
-        await self._change_grid(hw)
-        if lad['idx'] + 1 < len(lad['rungs']):
-            await self._to_driver(m.Prewarm([lad['rungs'][lad['idx'] + 1]]))
-        else:
-            # Final rung: compile the polish-precision programs in the
-            # background while it optimizes, so the polish swap lands on
-            # warm caches.
-            self._start_polish_prewarm(tuple(hw))
+        if action[0] == 'advance':
+            _, hw, is_final = action
+            hw = tuple(hw)
+            self._await_grid = hw
+            logger.info('serving ladder: advancing to %s', hw)
+            await self._change_grid(hw)
+            if is_final:
+                # Final rung: compile the polish-precision programs in the
+                # background while it optimizes, so the polish swap lands
+                # on warm caches.
+                self._start_polish_prewarm(hw)
+            else:
+                nxt = self.sched.rungs[self.sched.idx + 1]
+                await self._to_driver(m.Prewarm([nxt]))
+        elif action[0] == 'polish':
+            precision = self._polish_precision()
+            self._precision_override = precision
+            self._polish_waiting = True
+            logger.info('polish: respawning engine at %s for %d iterations',
+                        precision, action[1])
+            await self.restart_engine()
+        elif action[0] == 'pause':
+            self.sched = None
+            logger.info('polish complete at iterate %d; pausing',
+                        self.sess.i)
+            await self.pause()
+            self.sess.running = False
+            self.sess.push_state()
 
     async def _change_grid(self, hw):
         """Moves the session to an explicit (H, W) grid with a DEVICE-side
@@ -540,38 +640,15 @@ class SingleSessionTier(sn.EngineActions):
         threading.Thread(target=work, name='polish-prewarm',
                          daemon=True).start()
 
-    async def _maybe_begin_polish(self):
-        if not self._polish_applicable() or self.polish is not None:
-            return
-        n = self._polish_iters()
-        precision = self._polish_precision()
-        self._precision_override = precision
-        self.polish = {'n': n, 'await_ready': True, 'until_i': None}
-        logger.info('polish: respawning engine at %s for %d iterations',
-                    precision, n)
-        await self.restart_engine()
-
     async def _polish_on_ready(self):
         """The polish driver came up: resume iterating and anchor the
         budget at the current counter (the respawn seeded t0=sess.i)."""
-        pol = self.polish
-        if pol is None or not pol.get('await_ready'):
+        if not self._polish_waiting or self.sched is None:
             return
-        pol['await_ready'] = False
-        pol['until_i'] = self.sess.i + pol['n']
+        self._polish_waiting = False
+        self.sched.transition_done(self.sess.i)
         await self._to_driver(m.StartIteration())
         self.sess.running = True
-        self.sess.push_state()
-
-    async def _polish_tick(self):
-        pol = self.polish
-        if (pol is None or pol.get('await_ready')
-                or self.sess.i < pol['until_i']):
-            return
-        self.polish = None
-        logger.info('polish complete at iterate %d; pausing', self.sess.i)
-        await self.pause()
-        self.sess.running = False
         self.sess.push_state()
 
     async def _respawn_driver(self):
@@ -593,7 +670,7 @@ class SingleSessionTier(sn.EngineActions):
         """A user-driven state change abandons any polish phase: back to
         the configured main precision. Callers invoke this FIRST, so their
         own driver messages follow the respawn onto the new driver."""
-        self.polish = None
+        self.polish = None   # property setter: drops a polishing schedule
         if self._precision_override is not None:
             self._precision_override = None
             await self._respawn_driver()
@@ -601,6 +678,8 @@ class SingleSessionTier(sn.EngineActions):
     # -- EngineActions (WS inbound commands) -----------------------------------
 
     async def start(self):
+        if self._first_start_t is None:
+            self._first_start_t = time.monotonic()
         await self._maybe_begin_ladder()
         await self._to_driver(m.StartIteration())
 
@@ -705,29 +784,17 @@ class SingleSessionTier(sn.EngineActions):
         precision override — which outlives the polish dict, because a
         finished tail leaves the session paused at the raised precision."""
         state = {}
-        lad = self.ladder
-        if lad is not None:
-            state['ladder'] = {
-                'rungs': [[int(h), int(w)] for h, w in lad['rungs']],
-                'idx': int(lad['idx']),
-                'per_rung': int(lad['per_rung']),
-                'await_grid': ([int(x) for x in lad['await_grid']]
-                               if lad.get('await_grid') else None),
-                'remaining': (max(0, int(lad['next_at']) - self.sess.i)
-                              if lad.get('next_at') is not None else None),
-            }
-        pol = self.polish
-        if pol is not None:
-            state['polish'] = {
-                'remaining': (max(1, int(pol['until_i']) - self.sess.i)
-                              if pol.get('until_i') is not None
-                              else int(pol['n'])),
+        sched = self.sched
+        if sched is not None:
+            state.update(sched.state(self.sess.i,
+                                     awaiting=self._await_grid))
+            if 'polish' in state:
                 # Whether the tail should self-resume on restore: a crash
                 # inside the respawn window persists running=False (the
                 # respawn transiently clears it) even though the tail was
                 # about to auto-run.
-                'auto': bool(pol.get('await_ready') or self.sess.running),
-            }
+                state['polish']['auto'] = bool(self._polish_waiting
+                                               or self.sess.running)
         if self._precision_override is not None:
             state['precision_override'] = self._precision_override
         return state
@@ -753,46 +820,43 @@ class SingleSessionTier(sn.EngineActions):
             pol = phase.get('polish')
             if pol is not None and override is not None:
                 remaining = max(1, int(pol['remaining']))
+                # polish_n = remaining, so a re-persist before the anchor
+                # lands still records the REMAINING budget, not a fresh n.
+                self.sched = phases.Schedule.restore_polish(pol, remaining)
                 if pol.get('auto', self.sess.running):
                     # Tail was iterating (or mid-respawn): re-anchor and
                     # resume via _polish_on_ready when the polish driver
                     # comes up.
-                    self.polish = {'n': remaining, 'await_ready': True,
-                                   'until_i': None}
+                    self._polish_waiting = True
                 else:
-                    # User-paused mid-tail: keep it dormant; a later start
-                    # finishes the remaining budget and self-pauses.
-                    self.polish = {'n': remaining, 'await_ready': False,
-                                   'until_i': self.sess.i + remaining}
+                    # User-paused mid-tail: anchor now and keep it dormant;
+                    # a later start finishes the remaining budget and
+                    # self-pauses.
+                    self.sched.transition_done(self.sess.i)
             lad = phase.get('ladder')
-            if lad is not None and self.polish is None:
-                rungs = [tuple(int(x) for x in hw) for hw in lad['rungs']]
-                idx = int(lad['idx'])
-                if not 0 <= idx < len(rungs):
-                    raise ValueError(f'ladder idx {idx} out of range')
-                restored = {'rungs': rungs, 'idx': idx,
-                            'per_rung': max(1, int(lad['per_rung'])),
-                            'next_at': None,
-                            'await_grid': tuple(rungs[idx])}
-                if lad.get('remaining') is not None:
-                    # Mid-rung snapshot: the await_grid clear (the restored
-                    # iterate is already on this rung's grid) re-anchors to
-                    # the REMAINING budget, not a fresh per_rung.
-                    restored['budget_remaining'] = max(
-                        0, int(lad['remaining']))
-                self.ladder = restored
-            if self.polish is not None or self.ladder is not None \
-                    or override is not None:
+            if lad is not None and self.sched is None:
+                polish_n = (self._polish_iters()
+                            if self._polish_applicable() else 0)
+                self.sched = phases.Schedule.restore_ladder(lad, polish_n)
+                # Re-affirm the restored rung's grid: the await-grid clear
+                # (the restored iterate is already on this rung's grid)
+                # re-anchors to the snapshot's REMAINING budget via the
+                # schedule's budget override, not a fresh per_rung.
+                self._await_grid = tuple(self.sched.current_rung)
+            if self.sched is not None or override is not None:
                 logger.info(
-                    'restored schedule state: ladder=%s polish=%s '
-                    'precision_override=%s', self.ladder, self.polish,
+                    'restored schedule state: phase=%s rung=%s '
+                    'precision_override=%s',
+                    self.sched.phase if self.sched else None,
+                    self.sched.current_rung if self.sched else None,
                     self._precision_override)
             return phase
         except Exception:
             logger.warning('unreadable phase state in snapshot; schedule '
                            'not restored', exc_info=True)
-            self.ladder = None
-            self.polish = None
+            self.sched = None
+            self._await_grid = None
+            self._polish_waiting = False
             self._precision_override = None
             return {}
 
@@ -801,19 +865,19 @@ class SingleSessionTier(sn.EngineActions):
         mid-advance ladder re-sends its pending grid change, and the
         restored rung's successor (or the polish programs, on the final
         rung) prewarms like a live advance would have."""
-        lad = self.ladder
-        if lad is None:
+        sched = self.sched
+        if sched is None or not sched.laddering:
             return
-        hw = lad.get('await_grid')
+        hw = self._await_grid
         if (hw and self.sess.input_arr is not None
                 and tuple(self.sess.input_arr.shape[:2]) != tuple(hw)):
             # The snapshot caught an advance in flight: the persisted
             # iterate is still on the previous rung's grid.
             await self._change_grid(tuple(hw))
-        if lad['idx'] + 1 < len(lad['rungs']):
-            await self._to_driver(m.Prewarm([lad['rungs'][lad['idx'] + 1]]))
+        if sched.idx + 1 < len(sched.rungs):
+            await self._to_driver(m.Prewarm([sched.rungs[sched.idx + 1]]))
         else:
-            self._start_polish_prewarm(tuple(lad['rungs'][lad['idx']]))
+            self._start_polish_prewarm(tuple(sched.rungs[sched.idx]))
 
     def _maybe_persist(self):
         """Snapshots the session if anything observable changed since the
@@ -902,6 +966,16 @@ class SingleSessionTier(sn.EngineActions):
     async def handle_upload(self, request):
         await self.accept_upload(await request.post())
         return web.Response()
+
+    async def handle_stats(self, request):
+        import jax
+        return render('stats.html', {
+            'sessions': 1, 'instances': 1,
+            'timestamp': time.asctime(time.gmtime()),
+            'loadavg': os.getloadavg(),
+            'devices': ', '.join(str(d) for d in jax.devices()),
+            'first_iterate_s': self.first_iterate_s,
+            'ga_tracking_code': self.config.get('ga_tracking_code', '')})
 
     async def handle_websocket(self, request):
         return await sn.pump_websocket(request, self.sess, self,
@@ -1000,6 +1074,7 @@ def init(args=None, config=None):
     app.router.add_route('GET', '/output', tier.handle_output)
     app.router.add_route('POST', '/upload', tier.handle_upload)
     app.router.add_route('GET', '/websocket', tier.handle_websocket)
+    app.router.add_route('GET', '/stats', tier.handle_stats)
     app.router.add_route('POST', '/__control/reset',
                          tier.handle_control_reset)
     add_static_routes(app)

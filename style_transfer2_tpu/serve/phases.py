@@ -35,6 +35,17 @@ logger = logging.getLogger('phases')
 MAX_RETRIES = 3
 
 
+def _enc_rung(r):
+    """A rung is a (H, W) grid (app tier) or a scalar size (pooled tier);
+    both YAML-encode losslessly."""
+    return [int(x) for x in r] if isinstance(r, (tuple, list)) else int(r)
+
+
+def _dec_rung(r):
+    return (tuple(int(x) for x in r) if isinstance(r, (list, tuple))
+            else int(r))
+
+
 class Schedule:
     """One session's ladder -> polish -> pause state machine."""
 
@@ -69,6 +80,12 @@ class Schedule:
 
     def _final_rung(self):
         return self.idx == len(self.rungs) - 1
+
+    def remaining(self, i):
+        """Iterations left in the current phase budget at counter i, or
+        None while unanchored (mid-transition)."""
+        return (None if self.next_at is None
+                else max(0, int(self.next_at) - i))
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -145,13 +162,12 @@ class Schedule:
         out = {}
         if self.phase == 'ladder':
             out['ladder'] = {
-                'rungs': [[int(h), int(w)] for h, w in self.rungs],
+                'rungs': [_enc_rung(r) for r in self.rungs],
                 'idx': int(self.idx),
                 'per_rung': int(self.per_rung),
                 'await_grid': ([int(x) for x in awaiting]
                                if awaiting else None),
-                'remaining': (max(0, int(self.next_at) - i)
-                              if self.next_at is not None else None),
+                'remaining': self.remaining(i),
             }
         if self.phase == 'polish':
             out['polish'] = {
@@ -165,7 +181,7 @@ class Schedule:
     def restore_ladder(cls, lad, polish_n=0):
         """Rebuilds a mid-ladder schedule from state()['ladder']; raises
         on malformed input (callers treat that as no-schedule)."""
-        rungs = [tuple(int(x) for x in hw) for hw in lad['rungs']]
+        rungs = [_dec_rung(r) for r in lad['rungs']]
         idx = int(lad['idx'])
         if not 0 <= idx < len(rungs):
             raise ValueError(f'ladder idx {idx} out of range')

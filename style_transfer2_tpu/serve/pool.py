@@ -44,6 +44,7 @@ from ..models import vgg19
 from ..models.weights import resolve_params
 from ..optim import OPTIMIZERS
 from . import persist
+from . import phases
 from . import session as sn
 from .error_pages import error_pages
 from .render import add_static_routes, render
@@ -67,8 +68,39 @@ class PoolSession(sn.Session):
         self.precision = precision   # bucket identity = (bucket_hw, precision)
         self.last_access = time.monotonic()
         self.last_image_fetch = 0.0
-        self.ladder = None   # active multi-scale schedule (PooledTier)
-        self.polish = None   # active full-precision tail (PooledTier)
+        # The automated schedule (phases.Schedule: ladder -> polish ->
+        # pause) driven by PooledTier._phase_tick, or None.
+        self.sched = None
+
+    # `ladder` / `polish` expose the schedule by phase (tests check these
+    # for None-ness; assigning None abandons that phase — the
+    # pre-phases.Schedule API, kept stable).
+
+    @property
+    def ladder(self):
+        s = self.sched
+        return s if (s is not None and s.laddering) else None
+
+    @ladder.setter
+    def ladder(self, value):
+        if value is not None:
+            raise AttributeError('ladder is schedule-managed; only None '
+                                 '(abandon) may be assigned')
+        if self.sched is not None and self.sched.laddering:
+            self.sched = None
+
+    @property
+    def polish(self):
+        s = self.sched
+        return s if (s is not None and s.polishing) else None
+
+    @polish.setter
+    def polish(self, value):
+        if value is not None:
+            raise AttributeError('polish is schedule-managed; only None '
+                                 '(abandon) may be assigned')
+        if self.sched is not None and self.sched.polishing:
+            self.sched = None
 
     def touch(self):
         self.last_access = time.monotonic()
@@ -87,6 +119,8 @@ class LaneActions(sn.EngineActions):
         return self.tier.engine_of(self.sess)
 
     async def start(self):
+        if self.tier._first_start_t is None:
+            self.tier._first_start_t = time.monotonic()
         await self.tier.maybe_begin_ladder(self.sess)
         # Through the tick lock: toggling running DURING a dispatch makes
         # the post-dispatch accounting emit iterates for a lane that was
@@ -189,6 +223,10 @@ class PooledTier:
         # user's iterate at the cost of optimizer momentum.
         self.persist_dir = config.get('pool_persist_dir', '')
         self._persist_sigs = {}
+        # Cold-start metric (VERDICT r4 #5): seconds from the instance's
+        # first `start` command to the first fan-out iterate.
+        self.first_iterate_s = None
+        self._first_start_t = None
 
     # -- buckets ------------------------------------------------------------
 
@@ -417,64 +455,82 @@ class PooledTier:
 
     async def maybe_begin_ladder(self, sess):
         """Activates the ladder for a FRESH session (iterate <= 1): migrate
-        down to the smallest allowed rung, then climb via _ladder_tick."""
-        if getattr(sess, 'ladder', None) is not None:
+        down to the smallest allowed rung, then climb via _phase_tick."""
+        if sess.sched is not None:
             return
         per_rung, rungs = self.ladder_rungs(sess)
         if len(rungs) < 2 or self.engine_of(sess).t[sess.lane] > 1:
             return
-        sess.ladder = {'rungs': rungs, 'idx': 0, 'per_rung': per_rung,
-                       'next_at': per_rung, 'migrating': False}
+        polish_n = (self._polish_iters(sess)
+                    if self._polish_applicable(sess) else 0)
+        sched = sess.sched = phases.Schedule(rungs, per_rung, polish_n)
         logger.info('pooled ladder for %s: %s at %d iters/rung',
                     sess.session_id, rungs, per_rung)
-        await self.migrate_session(sess, rungs[0])
+        action = sched.begin()   # ('advance', rungs[0], is_final)
+        try:
+            await self.migrate_session(sess, action[1])
+        except Exception:
+            sched.transition_failed(sess.i)
+            raise
+        sched.transition_done(sess.i)
 
-    def _ladder_tick(self, sess):
-        """Called from the drive fan-out (under tick_lock): schedules the
-        next rung's migration as its OWN task — migrate_session takes the
-        tick lock itself, so it must run after this tick releases it."""
-        lad = getattr(sess, 'ladder', None)
-        if lad is None or lad['migrating'] or sess.i < lad['next_at']:
+    def _phase_tick(self, sess):
+        """Called from the drive fan-out (under tick_lock): drives the
+        shared schedule and runs its actions with this tier's mechanics —
+        a rung advance is a warm bucket migration, a polish begin a
+        cross-precision migration, a pause a lane stop. Each action runs
+        as its OWN task: migrate_session/engine_op take the tick lock
+        themselves, so they must run after this tick releases it."""
+        sched = sess.sched
+        if sched is None:
             return
-        lad['idx'] += 1
-        if lad['idx'] >= len(lad['rungs']):
-            sess.ladder = None
+        if sched.laddering:
+            # Polish applicability is decided when the ladder completes
+            # (the user may toggle the params' polish key mid-ladder).
+            sched.polish_n = (self._polish_iters(sess)
+                              if self._polish_applicable(sess) else 0)
+        was_laddering = sched.laddering
+        action = sched.tick(sess.i)
+        if was_laddering and not sched.laddering:
             logger.info('pooled ladder for %s complete at %s',
                         sess.session_id, sess.bucket_hw)
-            self._maybe_begin_polish(sess)
+        if action is None:
+            if sched.phase == 'done' and sess.sched is sched:
+                sess.sched = None
             return
-        size = lad['rungs'][lad['idx']]
-        if (lad['idx'] == len(lad['rungs']) - 1
-                and self._polish_applicable(sess)):
+        if action[0] == 'advance':
+            self._advance_rung(sess, sched, action[1], action[2])
+        elif action[0] == 'polish':
+            self._begin_polish(sess, sched, action[1])
+        elif action[0] == 'pause':
+            self._end_polish(sess, sched)
+
+    def _advance_rung(self, sess, sched, size, is_final):
+        if is_final and self._polish_applicable(sess):
             # Final rung: compile the polish bucket's programs in the
             # background while it optimizes.
             self._start_polish_prewarm(size)
-        lad['migrating'] = True
 
         async def go():
             try:
                 await self.migrate_session(sess, size)
-                lad['next_at'] = sess.i + lad['per_rung']
-                lad['retries'] = 0
             except Exception:
                 # Transient failures (e.g. the target bucket momentarily
                 # full while another session migrates through) RETRY after
                 # another rung-budget's worth of iterations; only repeated
                 # failure cancels the schedule.
-                lad['retries'] = lad.get('retries', 0) + 1
-                lad['idx'] -= 1
-                if lad['retries'] > 3:
-                    logger.warning('pooled ladder migration to %d failed '
-                                   '%d times; schedule cancelled', size,
-                                   lad['retries'], exc_info=True)
-                    sess.ladder = None
-                else:
-                    lad['next_at'] = sess.i + lad['per_rung']
+                if sched.transition_failed(sess.i):
                     logger.info('pooled ladder migration to %d failed '
                                 '(attempt %d); will retry', size,
-                                lad['retries'])
-            finally:
-                lad['migrating'] = False
+                                sched.retries)
+                else:
+                    logger.warning('pooled ladder migration to %d failed '
+                                   '%d times; schedule cancelled', size,
+                                   sched.retries, exc_info=True)
+                    if sess.sched is sched:
+                        sess.sched = None
+                return
+            sched.transition_done(sess.i)
 
         asyncio.ensure_future(go())
 
@@ -523,32 +579,27 @@ class PooledTier:
         threading.Thread(target=work, name='pool-polish-prewarm',
                          daemon=True).start()
 
-    def _maybe_begin_polish(self, sess):
-        """Called from the drive fan-out when the ladder completes:
-        schedules the cross-precision migration as its own task, like a
-        rung advance."""
-        if not self._polish_applicable(sess) or sess.polish is not None:
-            return
-        n = self._polish_iters(sess)
+    def _begin_polish(self, sess, sched, n):
+        """Runs the schedule's polish action: the cross-precision
+        migration, as its own task, like a rung advance."""
         precision = self._polish_precision()
         size = max(sess.bucket_hw)
-        pol = sess.polish = {'n': n, 'until_i': None, 'migrating': True}
         logger.info('pooled polish for %s: migrating to %s for %d '
                     'iterations', sess.session_id, precision, n)
 
         async def go():
-            if sess.polish is not pol:
+            if sess.sched is not sched:
                 return   # user action cancelled it before we started
             try:
                 await self.migrate_session(sess, size, precision=precision)
             except Exception:
-                if sess.polish is pol:
-                    sess.polish = None
+                if sess.sched is sched:
+                    sess.sched = None
                 logger.warning('pooled polish migration for %s failed; '
                                'tail skipped', sess.session_id,
                                exc_info=True)
                 return
-            if sess.polish is not pol:
+            if sess.sched is not sched:
                 # A user action (size change, reset) landed while we
                 # migrated and our move clobbered it: undo — back to the
                 # main precision at the current grid, so the session is
@@ -564,18 +615,14 @@ class PooledTier:
                                        '%s failed', sess.session_id,
                                        exc_info=True)
                 return
-            pol['until_i'] = sess.i + n
-            pol['migrating'] = False
+            sched.transition_done(sess.i)
         asyncio.ensure_future(go())
 
-    def _polish_tick(self, sess):
-        """Called from the drive fan-out: ends the tail once its budget is
-        spent — pause the lane (its own task; the tick holds tick_lock)."""
-        pol = sess.polish
-        if (pol is None or pol.get('migrating')
-                or sess.i < pol['until_i']):
-            return
-        sess.polish = None
+    def _end_polish(self, sess, sched):
+        """Runs the schedule's pause action: the tail's budget is spent —
+        pause the lane (its own task; the tick holds tick_lock)."""
+        if sess.sched is sched:
+            sess.sched = None
         # The session's binding NOW: a migration racing in before our
         # engine_op acquires the tick lock re-binds the session (and may
         # hand this lane to someone else) — the pause must then not fire.
@@ -699,23 +746,24 @@ class PooledTier:
         pre-move one), with a zero/full budget so the restore re-attempts
         the move on its first tick."""
         state = {}
-        lad = getattr(sess, 'ladder', None)
-        if lad is not None:
-            idx, remaining = lad['idx'], max(0, lad['next_at'] - sess.i)
-            if lad.get('migrating'):
+        sched = sess.sched
+        if sched is None:
+            return state
+        if sched.laddering:
+            idx, remaining = sched.idx, sched.remaining(sess.i)
+            if sched.in_transition:
                 idx, remaining = max(0, idx - 1), 0
-            state['ladder'] = {'rungs': [int(s) for s in lad['rungs']],
+            state['ladder'] = {'rungs': [int(s) for s in sched.rungs],
                                'idx': int(idx),
-                               'per_rung': int(lad['per_rung']),
-                               'remaining': int(remaining)}
-        pol = getattr(sess, 'polish', None)
-        if pol is not None:
-            if pol.get('migrating') or pol.get('until_i') is None:
+                               'per_rung': int(sched.per_rung),
+                               'remaining': int(remaining or 0)}
+        if sched.polishing:
+            if sched.in_transition or sched.next_at is None:
                 state['polish'] = {'pending': True}
             else:
                 state['polish'] = {
                     'pending': False,
-                    'remaining': max(1, int(pol['until_i']) - sess.i)}
+                    'remaining': max(1, int(sched.next_at) - sess.i)}
         return state
 
     def _restore_phase(self, sess, phase_yaml):
@@ -733,29 +781,42 @@ class PooledTier:
             if pol is not None:
                 if (not pol.get('pending')
                         and sess.precision != self.main_precision()):
+                    # polish_n = remaining, so a re-persist before the
+                    # anchor lands still records the REMAINING budget.
                     remaining = max(1, int(pol['remaining']))
-                    sess.polish = {'n': remaining,
-                                   'until_i': sess.i + remaining,
-                                   'migrating': False}
+                    sess.sched = phases.Schedule.restore_polish(pol,
+                                                                remaining)
+                    sess.sched.transition_done(sess.i)
                 else:
-                    self._maybe_begin_polish(sess)
+                    self._restart_polish(sess)
                 return   # polish only begins after the ladder: exclusive
             lad = phase.get('ladder')
             if lad is not None:
-                rungs = [int(s) for s in lad['rungs']]
-                idx = int(lad['idx'])
-                if not 0 <= idx < len(rungs):
-                    raise ValueError(f'ladder idx {idx} out of range')
-                sess.ladder = {'rungs': rungs, 'idx': idx,
-                               'per_rung': max(1, int(lad['per_rung'])),
-                               'next_at':
-                                   sess.i + max(0, int(lad['remaining'])),
-                               'migrating': False}
+                polish_n = (self._polish_iters(sess)
+                            if self._polish_applicable(sess) else 0)
+                sess.sched = phases.Schedule.restore_ladder(lad, polish_n)
+                # The session is already bound to its persisted bucket:
+                # affirm the rung so the budget re-anchors immediately (a
+                # mid-migration snapshot recorded idx-1/remaining 0, so
+                # the next tick re-attempts the move).
+                sess.sched.transition_done(sess.i)
         except Exception:
             logger.warning('session %s: unreadable phase state; schedule '
                            'not restored', sess.session_id, exc_info=True)
-            sess.ladder = None
-            sess.polish = None
+            sess.sched = None
+
+    def _restart_polish(self, sess):
+        """Re-begins a polish tail whose migration never landed (the
+        snapshot caught it pending, or the persisted precision is
+        inconsistently still the main one): from scratch, like a live
+        ladder completion would."""
+        if not self._polish_applicable(sess) or sess.sched is not None:
+            return
+        sched = sess.sched = phases.Schedule([], 0,
+                                             self._polish_iters(sess))
+        action = sched.begin()
+        if action is not None:
+            self._begin_polish(sess, sched, action[1])
 
     def _persist_all(self):
         """Snapshots every changed session (host state only — no device
@@ -1065,8 +1126,14 @@ class PooledTier:
                                     engine.lane_image, lane)
                                 sess.last_image_fetch = now
                             sess.note_iterates(engine.t[lane], image, traces)
-                            self._ladder_tick(sess)
-                            self._polish_tick(sess)
+                            if (self.first_iterate_s is None
+                                    and self._first_start_t is not None):
+                                self.first_iterate_s = round(
+                                    time.monotonic() - self._first_start_t,
+                                    2)
+                                logger.info('first iterate %.2fs after '
+                                            'start', self.first_iterate_s)
+                            self._phase_tick(sess)
                         missing = [
                             lane for lane in lane_traces
                             if (s := by_key.get((id(engine), lane)))
@@ -1175,6 +1242,7 @@ class PooledTier:
             'capacity': sum(e.max_lanes for e in self.engines.values()),
             'sessions': len(self.sessions),
             'health': 'WEDGED (device watchdog)' if self.wedged else 'ok',
+            'first_iterate_s': self.first_iterate_s,
             'timestamp': time.asctime(time.gmtime()),
             'loadavg': os.getloadavg(),
             'devices': ', '.join(str(d)

@@ -22,6 +22,11 @@ run() {
 }
 timeout 300 python3 -c "import jax; jax.devices()" >/dev/null 2>&1 || exit 3
 
+# 0. The ns_calibrate NaN: localize the first non-finite iterate and A/B
+#    the suspects (bf16 curvature-pair storage, precision, grid size)
+#    BEFORE burning another 90 min of calibration on a poisoned engine.
+run nan_diag timeout 3600 python tools/diag_nan256.py
+
 run ns_calibrate timeout 5400 python tools/calibrate_ns.py --reps 3
 
 run ladder_single_warm timeout 2400 python tools/measure_serving.py \
@@ -31,6 +36,15 @@ run ladder_single_r5b timeout 2400 python tools/measure_serving.py \
 
 run polish_1024_f32_v2 timeout 5400 python tools/measure_polish.py \
     --size 1024 --iters 240 --polish 60 --polish-precision float32
+
+# 4. Fixed-kernel reruns: the hw_round5b pconv arms that launched before
+#    the conv.py fix ran the 2-D-halo kernel Mosaic rejects (mixed
+#    Element/Blocked specs + the W-halo divisibility wall); the 1-D
+#    all-Element kernel replaced it mid-queue.
+run pconv_micro_v2 timeout 7200 python tools/measure_pallas_conv.py --iters 60
+run step512_pconv_v2 timeout 3600 python tools/measure_step.py --size 512 \
+    --pallas-conv
+run step512_base_v2 timeout 3600 python tools/measure_step.py --size 512
 
 echo "round-5 part 3 done" >&2
 date +%s > /tmp/hw5c_done

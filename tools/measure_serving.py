@@ -93,7 +93,8 @@ async def run_app(args):
     result = {'tier': 'app', 'size': args.size, 'precision': args.precision,
               'adaptive': args.adaptive,
               'pipeline_depth': args.pipeline_depth,
-              'its_per_s': round(rate, 1), 'iters': i1 - i0}
+              'its_per_s': round(rate, 1), 'iters': i1 - i0,
+              'time_to_first_iterate_s': app['tier'].first_iterate_s}
     tuner = app['tier'].driver.tuner
     if tuner is not None:
         result['latency_target'] = args.latency_target
@@ -293,7 +294,8 @@ async def run_converge(args):
                   'polish': args.polish,
                   'polish_precision': args.polish_precision,
                   'iters': frames, 'converged_wall_s': round(wall, 1),
-                  'converged_loss': float('%.6g' % loss)}
+                  'converged_loss': float('%.6g' % loss),
+                  'time_to_first_iterate_s': tier.first_iterate_s}
         await ws.close()
         await client.close()
         return result
@@ -329,7 +331,8 @@ async def run_converge(args):
     result = {'tier': 'app', 'mode': 'converge', 'size': args.size,
               'precision': args.precision, 'ladder': args.ladder,
               'iters': frames, 'converged_wall_s': round(wall, 1),
-              'converged_loss': float('%.6g' % loss)}
+              'converged_loss': float('%.6g' % loss),
+              'time_to_first_iterate_s': tier.first_iterate_s}
     await ws.close()
     await client.close()
     return result
