@@ -19,11 +19,13 @@ big shapes — docs/ROUND2.md measured ~95% of v5e bf16 peak):
     worker.py:88-106 backpropagates to the image only), so dw/db are
     structural zeros.
 
-Tiling: 1-D grid over output row-tiles (x batch); the input block rides a
-`pl.Element(th + 2, padding=(1, 1))` spec — the Pallas pipeline fetches
-each tile WITH its 1-row halos, double-buffered, and the kernel zeroes the
-out-of-bounds halo rows at the image top/bottom (SAME padding). W-padding
-is two sublane-shifted views built in VMEM (concat with a zero column).
+Tiling: 1-D grid over output row-tiles (x batch); the input block is an
+all-Element window of th + 2 rows whose start is CLAMPED in-bounds (the
+index map pulls i*th - 1 back into the array) — the Pallas pipeline
+fetches each tile WITH its 1-row halos, double-buffered, and the kernel
+re-aligns the window in VMEM, inserting the SAME-padding zero rows at the
+image top/bottom (_halo). W-padding is two sublane-shifted views built in
+VMEM (concat with a zero column).
 Channels live on lanes; K = C_in per tap, so the kernel is gated to
 C_in >= 64 (thin layers keep XLA's im2col lowering).
 
@@ -96,14 +98,39 @@ def supported(x_shape, w_shape):
             and _pick_tile(h, w, c_out, c_in, 2, 2) is not None)
 
 
-def _edge_mask(v, th):
-    """Zeroes the out-of-bounds halo rows of a (1, th+2, W, C) block at the
-    image top (first grid row) and bottom (last): SAME padding in H."""
+def _wsize(th, h):
+    """Static window height: th + 2 halo rows, capped at the array (the
+    single-tile case th == h has no in-bounds halo rows at all)."""
+    return min(th + 2, h)
+
+
+def _offset(i, th, h):
+    """The window's clamped start row (same formula as the index map):
+    i*th - 1 pulled back into [0, h - wsize]."""
+    lo = i * th - 1
+    return jnp.clip(lo, 0, max(h - _wsize(th, h), 0))
+
+
+def _halo(v, th, h):
+    """Canonical (th+2, W, C) halo block from the clamped in-bounds window
+    (wsize, W, C): re-align by the window's clamp distance, with zero rows
+    exactly where the window abuts an image edge (the SAME padding).
+
+    Mosaic rejects the direct formulation (`pl.Element(th+2,
+    padding=(1,1))`): the device backend reports "Low padding not
+    supported yet" even though the client-side lowering accepts it. And
+    in-kernel jax.lax.dynamic_slice is not lowered either — but the clamp
+    distance only takes values {0, 1, 2}, so three static row-shifted
+    candidates and two selects re-align for free (rows are a non-tiled
+    dim)."""
+    z = jnp.zeros_like(v[:1])
+    if _wsize(th, h) == th:   # single-tile grid: both halo rows are pads
+        return jnp.concatenate([z, v, z], axis=0)
     i = pl.program_id(1)
-    n = pl.num_programs(1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
-    ok = ((row > 0) | (i > 0)) & ((row < th + 1) | (i < n - 1))
-    return jnp.where(ok, v[0], jnp.zeros_like(v[0]))
+    start = i * th - _offset(i, th, h)   # 0 at the top edge, 1-2 below
+    c0 = jnp.concatenate([z, v[:-1]], axis=0)   # top edge: zero halo row
+    c2 = jnp.concatenate([v[1:], z], axis=0)    # bottom edge
+    return jnp.where(start == 0, c0, jnp.where(start == 2, c2, v))
 
 
 def _accumulate_taps(v, w_ref, th):
@@ -124,8 +151,8 @@ def _accumulate_taps(v, w_ref, th):
     return acc
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, th, relu):
-    v = _edge_mask(x_ref[:], th)
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, th, h, relu):
+    v = _halo(x_ref[0], th, h)
     acc = _accumulate_taps(v, w_ref, th)
     acc = acc + b_ref[0].astype(jnp.float32)
     if relu:
@@ -133,20 +160,23 @@ def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, th, relu):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _bwd_kernel(g_ref, y_ref, wt_ref, o_ref, *, th):
+def _bwd_kernel(g_ref, y_ref, wt_ref, o_ref, *, th, h):
     # dReLU then dConv: mask the cotangent where the forward output was
-    # clamped, at the HALO'D rows (the mask belongs to g's positions).
-    g = g_ref[:] * (y_ref[:] > 0).astype(g_ref.dtype)
-    v = _edge_mask(g, th)
+    # clamped, at the WINDOW rows (g and y ride identical specs, so the
+    # positions align), then build the halo block.
+    g = g_ref[0] * (y_ref[0] > 0).astype(g_ref.dtype)
+    v = _halo(g, th, h)
     o_ref[0] = _accumulate_taps(v, wt_ref, th).astype(o_ref.dtype)
 
 
-def _halo_spec(th, w, c):
-    # All-Element (index map yields ELEMENT offsets): mixing Element and
-    # Blocked dims in one spec is unsupported.
-    return pl.BlockSpec((pl.Element(1), pl.Element(th + 2, padding=(1, 1)),
+def _halo_spec(th, h, w, c):
+    # All-Element (index maps yield ELEMENT offsets; mixing Element and
+    # Blocked dims in one spec is unsupported) and NO padding (the device
+    # Mosaic backend rejects low padding): the window start is clamped
+    # in-bounds, and the kernel re-aligns in VMEM (_halo).
+    return pl.BlockSpec((pl.Element(1), pl.Element(_wsize(th, h)),
                          pl.Element(w), pl.Element(c)),
-                        lambda b, i: (b, i * th, 0, 0))
+                        lambda b, i: (b, _offset(i, th, h), 0, 0))
 
 
 def _weight_spec(w4):
@@ -165,7 +195,7 @@ def _call(kernel, xs, w4, extra_specs, out_dtype, th, flops):
     return pl.pallas_call(
         kernel,
         grid=(n, h // th),
-        in_specs=([_halo_spec(th, w, x.shape[3]) for x in xs]
+        in_specs=([_halo_spec(th, h, w, x.shape[3]) for x in xs]
                   + [_weight_spec(w4)] + extra_specs),
         out_specs=pl.BlockSpec((pl.Element(1), pl.Element(th),
                                 pl.Element(w), pl.Element(c_out)),
@@ -186,7 +216,8 @@ def _conv_flops(x, c_out):
 def _fwd_call(x, w, b, relu):
     th = _pick_tile(x.shape[1], x.shape[2], x.shape[3], w.shape[3],
                     x.dtype.itemsize)
-    kernel = functools.partial(_fwd_kernel, th=th, relu=relu)
+    kernel = functools.partial(_fwd_kernel, th=th, h=x.shape[1],
+                               relu=relu)
     c_out = w.shape[3]
     bias_spec = pl.BlockSpec((1, c_out), lambda b_, i: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -202,7 +233,7 @@ def _bwd_call(g, y, w, in_dtype):
     wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
     th = _pick_tile(g.shape[1], g.shape[2], g.shape[3], wt.shape[3],
                     g.dtype.itemsize, n_halo_inputs=2)
-    kernel = functools.partial(_bwd_kernel, th=th)
+    kernel = functools.partial(_bwd_kernel, th=th, h=g.shape[1])
     call = _call(kernel, [g, y], wt, [], in_dtype, th,
                  _conv_flops(g, wt.shape[3]))
     return call(g, y, wt)

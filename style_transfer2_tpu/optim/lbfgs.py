@@ -43,8 +43,10 @@ SY_MIN = 1e-10
 # (~350 MB of f32 at 1024px), so halving its width trims real HBM time;
 # the s/y values are stored-then-read verbatim (never accumulated in
 # bf16), every dot accumulates f32 via preferred_element_type, and sy is
-# computed from the full-precision pair BEFORE the store. Hardware: ON —
-# 4.039/19.787/89.849 ms/step at 512/1024/2048 (-2.7/-1.7/-3.1%), r4c.
+# the dot of the pair AS STORED (store_curvature_pair — computing it
+# pre-rounding admitted sign-inconsistent pairs that diverged to NaN).
+# Hardware: ON — 4.039/19.787/89.849 ms/step at 512/1024/2048
+# (-2.7/-1.7/-3.1%), r4c.
 BF16_HISTORY = True
 
 
@@ -134,13 +136,26 @@ def store_curvature_pair(state, s, y):
     """Appends (s, y, s.y) at the write cursor if s.y > 1e-10
     (optimizers.py:79-87) — one slice write, no roll. Returns
     (sk, yk, syk, count, pos)."""
-    sy = _vdot(s, y)
-    accept = sy > SY_MIN
     n_corr = state['sk'].shape[0]
     pos = state['pos']
     hist = state['sk'].dtype
+    if hist != jnp.float32:
+        # Low-precision history: the curvature MUST be the dot of the
+        # pair AS STORED. bfloat16 rounding moves s.y by up to
+        # ~2^-8 * |s||y|, so a near-orthogonal pair accepted on its
+        # full-precision s.y can have NEGATIVE stored curvature — the
+        # two-loop then divides alphas by a sign-inconsistent rho and the
+        # iterate blows up within a few steps (hardware: 256px bf16
+        # diverged to NaN at iteration 9 with the pre-rounding sy; f32
+        # history was clean — tools/diag_nan256.py, hw_round5 nan_diag).
+        # The f32-accumulated dot of bf16 operands is exact per product,
+        # so the stored pair's curvature sign is trustworthy; pairs that
+        # round to non-positive curvature are rejected by the same
+        # absolute guard.
+        s, y = s.astype(hist), y.astype(hist)
+    sy = _vdot(s, y)
+    accept = sy > SY_MIN
     # On reject, rewrite the slot with its current contents (no-op write).
-    # The store rounds to the history dtype; sy above used full precision.
     s_w = jnp.where(accept, s.astype(hist), state['sk'][pos])
     y_w = jnp.where(accept, y.astype(hist), state['yk'][pos])
     sy_w = jnp.where(accept, sy, state['syk'][pos])

@@ -66,6 +66,26 @@ class Schedule:
 
     # -- introspection -------------------------------------------------------
 
+    def __getitem__(self, key):
+        """Dict-shape compat with the pre-Schedule tier bookkeeping: tests
+        and tools index the exposed ladder/polish objects by the old dict
+        keys ('idx', 'rungs', 'per_rung'; 'until_i'/'migrating' for the
+        polish dict's shape)."""
+        if key in ('rungs', 'idx', 'per_rung', 'polish_n'):
+            return getattr(self, key)
+        if key == 'until_i':   # old polish dict: budget-end counter
+            return (self.next_at
+                    if self.polishing and not self.in_transition else None)
+        if key == 'migrating':
+            return self.in_transition
+        raise KeyError(key)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
     @property
     def current_rung(self):
         return self.rungs[self.idx] if self.rungs else None

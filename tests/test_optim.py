@@ -140,3 +140,23 @@ def test_lbfgs_objective_changed_clears(rng):
     state = lbfgs.objective_changed(state)
     assert int(state['count']) == 0
     np.testing.assert_allclose(np.asarray(state['x']), x_before)
+
+
+def test_bf16_history_rejects_rounding_flipped_curvature():
+    """Low-precision history computes sy from the pair AS STORED: a pair
+    whose full-precision s.y clears the absolute guard but whose bf16
+    rounding zeroes (or flips) the stored curvature must be REJECTED —
+    the sign-inconsistent rho diverged to NaN on hardware within 9
+    iterations (tools/diag_nan256.py, hw_round5 nan_diag). float32
+    history keeps the reference's absolute-only guard exactly."""
+    x = jnp.zeros((2,), jnp.float32)
+    s = jnp.float32([1.0, 1.0])
+    y = jnp.float32([1.0 + 2.0 ** -9, -1.0])  # f32 s.y = 2^-9 > SY_MIN
+    assert float(jnp.vdot(s, y)) > lbfgs.SY_MIN
+    # bf16 rounds 1 + 2^-9 down to 1.0: the stored pair's curvature is 0.
+    state = lbfgs.init(x, n_corr=2, history_dtype=jnp.bfloat16)
+    _, _, _, count, pos = lbfgs.store_curvature_pair(state, s, y)
+    assert int(count) == 0 and int(pos) == 0
+    state32 = lbfgs.init(x, n_corr=2)
+    _, _, _, count32, _ = lbfgs.store_curvature_pair(state32, s, y)
+    assert int(count32) == 1

@@ -22,9 +22,15 @@ run() {
 }
 timeout 300 python3 -c "import jax; jax.devices()" >/dev/null 2>&1 || exit 3
 
-# 0. The ns_calibrate NaN: localize the first non-finite iterate and A/B
-#    the suspects (bf16 curvature-pair storage, precision, grid size)
-#    BEFORE burning another 90 min of calibration on a poisoned engine.
+# 0a. The pconv arms return null with stderr discarded by run(); capture
+#     the real failure once, with stderr kept.
+timeout 1800 python tools/measure_step.py --size 512 --pallas-conv \
+    > /tmp/pconv_probe.out 2> tools/pconv_probe.err
+echo "pconv probe exit $? (stderr in tools/pconv_probe.err)" >&2
+
+# 0b. The ns_calibrate NaN: localize the first non-finite iterate and A/B
+#     the suspects (bf16 curvature-pair storage, precision, grid size)
+#     BEFORE burning another 90 min of calibration on a poisoned engine.
 run nan_diag timeout 3600 python tools/diag_nan256.py
 
 run ns_calibrate timeout 5400 python tools/calibrate_ns.py --reps 3
