@@ -163,8 +163,11 @@ def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, th, h, relu):
 def _bwd_kernel(g_ref, y_ref, wt_ref, o_ref, *, th, h):
     # dReLU then dConv: mask the cotangent where the forward output was
     # clamped, at the WINDOW rows (g and y ride identical specs, so the
-    # positions align), then build the halo block.
-    g = g_ref[0] * (y_ref[0] > 0).astype(g_ref.dtype)
+    # positions align), then build the halo block. The compare runs in
+    # f32: the v5e Mosaic backend rejects bf16 comparisons ("Target does
+    # not support this comparison").
+    g = g_ref[0] * (y_ref[0].astype(jnp.float32)
+                    > 0.0).astype(g_ref.dtype)
     v = _halo(g, th, h)
     o_ref[0] = _accumulate_taps(v, wt_ref, th).astype(o_ref.dtype)
 

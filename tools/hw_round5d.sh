@@ -26,7 +26,9 @@ timeout 300 python3 -c "import jax; jax.devices()" >/dev/null 2>&1 || exit 3
 run nan_diag_v2 timeout 3600 python tools/diag_nan256.py
 run ns_calibrate_v2 timeout 3600 python tools/calibrate_ns.py --reps 1
 
-run step512_guard timeout 3600 python tools/measure_step.py --size 512
+run pconv_micro_v3 timeout 7200 python tools/measure_pallas_conv.py --iters 60
+run step512_pconv_v3 timeout 3600 python tools/measure_step.py --size 512 \
+    --pallas-conv
 run step1024_guard timeout 3600 python tools/measure_step.py --size 1024
 run step1024_pconv_v2 timeout 3600 python tools/measure_step.py --size 1024 \
     --pallas-conv
