@@ -76,8 +76,8 @@ class BatchedStyleTransfer:
         self._history_dtype = None
         if optimizer == 'lbfgs':
             from ..optim import lbfgs as _lbfgs
-            if _lbfgs.BF16_HISTORY and compute_dtype == jnp.bfloat16:
-                self._history_dtype = jnp.bfloat16
+            self._history_dtype = _lbfgs.history_dtype_for(compute_dtype,
+                                                           self.hw)
         lane_state = (mod.init(zero_img, n_corr,
                                history_dtype=self._history_dtype)
                       if optimizer == 'lbfgs' else mod.init(zero_img))

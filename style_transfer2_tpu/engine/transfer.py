@@ -205,13 +205,13 @@ class StyleTransfer:
 
     def _lbfgs_history_dtype(self):
         """Storage dtype for fresh L-BFGS curvature buffers: bf16 in the
-        bf16 speed mode when optim.lbfgs.BF16_HISTORY is on (f32 parity
-        mode always keeps f32 — golden tests untouched)."""
+        bf16 speed mode on large-enough grids (optim.lbfgs
+        history_dtype_for — small grids diverge with bf16 pairs; f32
+        parity mode always keeps f32, golden tests untouched)."""
         from ..optim import lbfgs as _lbfgs
         _, compute_dtype = precision_config(self.precision)
-        if _lbfgs.BF16_HISTORY and compute_dtype == jnp.bfloat16:
-            return jnp.bfloat16
-        return None
+        return _lbfgs.history_dtype_for(compute_dtype,
+                                        self._input.shape[-3:-1])
 
     def reset(self):
         self.norm_vals = {}

@@ -48,6 +48,25 @@ SY_MIN = 1e-10
 # Hardware: ON — 4.039/19.787/89.849 ms/step at 512/1024/2048
 # (-2.7/-1.7/-3.1%), r4c.
 BF16_HISTORY = True
+# ...but only at grids with clean evidence: at 256px (65k px) the
+# two-loop amplifies the pairs' 2^-8 storage rounding through the early
+# ill-conditioned phase and diverges to NaN within 9 iterations — on
+# hardware, deterministically, and regardless of the stored-sy
+# consistency guard (tools/diag_nan256.py nan_diag + nan_diag_v2); at
+# 512px+ (262k px) thousands of measured iterations are clean. Below the
+# gate the history stays float32.
+BF16_HISTORY_MIN_PIXELS = 160_000
+
+
+def history_dtype_for(compute_dtype, hw):
+    """Storage dtype for fresh curvature buffers: bfloat16 in bf16 speed
+    mode on large-enough grids (see BF16_HISTORY_MIN_PIXELS), else None
+    (float32 — the parity mode is always float32, golden tests
+    untouched). hw is the optimization grid (H, W)."""
+    if (BF16_HISTORY and compute_dtype == jnp.bfloat16
+            and int(hw[0]) * int(hw[1]) >= BF16_HISTORY_MIN_PIXELS):
+        return jnp.bfloat16
+    return None
 
 
 def _vdot(a, b):

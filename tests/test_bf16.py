@@ -286,6 +286,10 @@ def test_bf16_history_tracks_f32_history():
     from style_transfer2_tpu.optim import lbfgs
 
     orig = lbfgs.BF16_HISTORY
+    orig_gate = lbfgs.BF16_HISTORY_MIN_PIXELS
+    # Test the mechanism at a toy grid: the production size gate keeps
+    # f32 history below 160k px (256px bf16 diverged on hardware).
+    lbfgs.BF16_HISTORY_MIN_PIXELS = 0
 
     def run(flag, precision):
         lbfgs.BF16_HISTORY = flag
@@ -319,3 +323,11 @@ def test_bf16_history_tracks_f32_history():
     # f32 parity mode ignores the flag entirely.
     stp, _ = run(True, 'float32')
     assert stp.opt_state['sk'].dtype == jnp.float32
+    # The size gate: below BF16_HISTORY_MIN_PIXELS the history stays f32
+    # even in bf16 mode (256px bf16 pairs diverged to NaN on hardware —
+    # tools/diag_nan256.py).
+    lbfgs.BF16_HISTORY_MIN_PIXELS = orig_gate
+    stg, _ = run(True, 'bfloat16')
+    assert stg.opt_state['sk'].dtype == jnp.float32
+    assert lbfgs.history_dtype_for(jnp.bfloat16, (512, 512)) == jnp.bfloat16
+    assert lbfgs.history_dtype_for(jnp.bfloat16, (256, 256)) is None
