@@ -57,10 +57,10 @@ BLOCK1_S2D = True
 
 # Fused Pallas conv3x3+bias+ReLU with the masked input-gradient backward
 # (ops/pallas/conv.py) on the layers it supports (C_in >= 64, C_out a lane
-# multiple, tileable grids); unsupported layers keep XLA's lowering. bf16
-# only — float32 is the parity mode. Default set by the round-5 hardware
-# A/B (tools/hw_round5b.sh).
-PALLAS_CONV = False
+# multiple, tileable <=300k-px grids); others keep XLA. bf16 only. ON:
+# whole-step -12.8%/-19.0% at 512/1024px bf16; the 2048 regression led
+# to conv.py's MAX_PIXELS cap (hw_round5_results step*_pconv rows).
+PALLAS_CONV = True
 
 # (name, out_channels) for each conv layer, in network order.
 CONV_SPECS = (

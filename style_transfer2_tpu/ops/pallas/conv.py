@@ -61,6 +61,16 @@ _TILE_ROWS = (32, 16, 8, 4, 2, 1)
 # XLA's im2col lowering is strictly better there).
 MIN_CIN = 64
 
+# Spatial cap: full-row tiles at >=1-Mpx grids force th=1-2 row tiles
+# whose shifted-view copies and grid overhead swamp the epilogue win —
+# the round-5 whole-step A/B won -12.8%/-19.0% at 512/1024px (every
+# fused shape there is <= 512x512 = 262k px) but LOST 15.8% at 2048px,
+# where the only NEW fused shapes were the 1-Mpx block-2 convs
+# (hw_round5_results.jsonl step*_pconv rows). Capping at 300k px keeps
+# the proven shapes fused everywhere and returns the 1-Mpx layers to
+# XLA, so high-res runs keep the win on their interior blocks.
+MAX_PIXELS = 300_000
+
 # VMEM budget for the live working set (v5e has ~16 MB more VMEM than
 # this; headroom left for Mosaic's own spills and the weight block).
 _VMEM_BUDGET = 11 * 2 ** 20
@@ -86,14 +96,16 @@ def _pick_tile(h, w, c_in, c_out, itemsize, n_halo_inputs=1):
 
 def supported(x_shape, w_shape):
     """Whether the fused kernel covers this conv (the caller falls back to
-    XLA's lowering otherwise): NHWC 3x3, C_in >= MIN_CIN, H tileable
-    within the VMEM budget in BOTH directions, lane-friendly C_out."""
+    XLA's lowering otherwise): NHWC 3x3, C_in >= MIN_CIN, grid at most
+    MAX_PIXELS, H tileable within the VMEM budget in BOTH directions,
+    lane-friendly C_out."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     n, h, w, c_in = x_shape
     kh, kw, wc_in, c_out = w_shape
     return (kh == 3 and kw == 3 and wc_in == c_in
             and c_in >= MIN_CIN and c_out % 128 == 0 and w >= 8
+            and h * w <= MAX_PIXELS
             and _pick_tile(h, w, c_in, c_out, 2) is not None
             and _pick_tile(h, w, c_out, c_in, 2, 2) is not None)
 

@@ -74,6 +74,7 @@ def test_supported_gating():
     assert not supported((1, 16, 16, 3), (3, 3, 3, 64))        # thin C_in
     assert not supported((1, 16, 16, MIN_CIN), (3, 3, MIN_CIN, 65))  # lanes
     assert not supported((1, 16, 4, 64), (3, 3, 64, 128))      # W below 8
+    assert not supported((1, 1024, 1024, 64), (3, 3, 64, 128))  # >MAX_PIXELS
     assert not supported((1, 16, 16, 64), (5, 5, 64, 128))     # not 3x3
     assert supported((1, 512, 512, 64), (3, 3, 64, 128))
 

@@ -40,9 +40,15 @@ def main(argv=None):
                    help='unsharded downsampled run for trace-key parity')
     args = p.parse_args(argv)
 
+    # The CPU collective rendezvous terminates the PROCESS when a
+    # participant straggles >40 s — at this grid a block-remat step's
+    # per-device compute between collective permutes routinely exceeds
+    # that on a shared host (observed twice, round 5). Raise both knobs.
     os.environ['XLA_FLAGS'] = (
         os.environ.get('XLA_FLAGS', '')
-        + ' --xla_force_host_platform_device_count=%d' % N_DEVICES)
+        + ' --xla_force_host_platform_device_count=%d' % N_DEVICES
+        + ' --xla_cpu_collective_call_warn_stuck_timeout_seconds=600'
+        + ' --xla_cpu_collective_call_terminate_timeout_seconds=3600')
     import jax
     jax.config.update('jax_platforms', 'cpu')
 
