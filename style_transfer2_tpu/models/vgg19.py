@@ -382,7 +382,12 @@ def extract_features(params, x, layers=None, precision=jax.lax.Precision.HIGHEST
                              "s2d-resident input")
         feats['data'] = x
 
-    use_pallas = PALLAS_CONV and compute_dtype == jnp.bfloat16
+    # The fused conv rides the same caller gate as block-1 s2d: the engine
+    # passes block1_s2d=False under spatial sharding, where a pallas_call
+    # inside a GSPMD-partitioned program is unmeasured (and Element-window
+    # specs have no sharding rule) — sharded runs keep XLA's convs.
+    use_pallas = (PALLAS_CONV and compute_dtype == jnp.bfloat16
+                  and block1_s2d)
 
     def conv_block(h, w, b):
         if use_pallas and _pconv.supported(h.shape, w.shape):
