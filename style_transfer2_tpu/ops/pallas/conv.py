@@ -98,13 +98,21 @@ def supported(x_shape, w_shape):
     """Whether the fused kernel covers this conv (the caller falls back to
     XLA's lowering otherwise): NHWC 3x3, C_in >= MIN_CIN, grid at most
     MAX_PIXELS, H tileable within the VMEM budget in BOTH directions,
-    lane-friendly C_out."""
+    lane-friendly C_out, and W sublane-aligned: the kernel's
+    (rows, W, C) -> (rows*W, C) matmul reshape needs every row to start
+    on a sublane boundary — Mosaic's infer-vector-layout rejects the
+    shape cast otherwise (seen on device at W=181, the 362px ladder rung
+    in the s2d domain: "unsupported shape cast" on vector<8x181x64>).
+    16 is the bf16 native sublane tile; every hardware-proven winning
+    shape (W in 32..512, all power-of-two) passes it, and unaligned
+    grids return to XLA — the measured pre-flip behavior."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     n, h, w, c_in = x_shape
     kh, kw, wc_in, c_out = w_shape
     return (kh == 3 and kw == 3 and wc_in == c_in
             and c_in >= MIN_CIN and c_out % 128 == 0 and w >= 8
+            and w % 16 == 0
             and h * w <= MAX_PIXELS
             and _pick_tile(h, w, c_in, c_out, 2) is not None
             and _pick_tile(h, w, c_out, c_in, 2, 2) is not None)
